@@ -1,0 +1,148 @@
+"""APIC particle↔grid transfers (P2G / G2P), dimension-generic.
+
+TPU-native replacement for the reference's notebook cells 2-3
+(`3D_viscous_fluid_sim.ipynb` :94-223): per-axis trilinear scatter of
+particle momentum with the APIC affine term, and the gather that rebuilds
+particle velocity + affine-gradient rows.
+
+Reference uses CUDA atomics (cell 2 :161-162); here scatters are XLA
+``.at[].add`` — a single sorted segmented reduction per target array,
+deterministic by construction (SURVEY §5 race-detection note).  The 2^d
+corner contributions are concatenated into ONE scatter per output so XLA
+sees a single op instead of 8.
+
+Faithful reference quirks preserved:
+  * corner indices are clamped to ``gres - 1`` per axis — the *base* grid
+    resolution — even on the face-extended axis whose array has gres+1
+    entries, so the trailing face plane never receives mass (cell 2 :128).
+  * weights use the |gx - x| formula with the lower-corner bias
+    (cell 2 :117-123).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+
+
+def _corner_setup(px, bound_min, cell_size, bias):
+    """gi (lower corner index), disp = gx - x, w = |disp| / h."""
+    bmin = jnp.asarray(bound_min, dtype=px.dtype)
+    h = jnp.asarray(cell_size, dtype=px.dtype)
+    b = jnp.asarray(bias, dtype=px.dtype)
+    gi = jnp.floor((px - bmin) / h - b).astype(jnp.int32)
+    gx = (gi.astype(px.dtype) + b) * h + bmin
+    disp = gx - px
+    w = jnp.abs(disp) / h
+    return gi, disp, w
+
+
+def _corner_weight(w, offs):
+    """weight_d = offs_d + (-1)^offs_d (1 - w_d), multiplied over d."""
+    out = None
+    for d, o in enumerate(offs):
+        wd = (1.0 - w[:, d]) if o == 0 else w[:, d]
+        out = wd if out is None else out * wd
+    return out
+
+
+def _flat_index(gi_corner, shape):
+    idx = gi_corner[:, 0]
+    for d in range(1, len(shape)):
+        idx = idx * shape[d] + gi_corner[:, d]
+    return idx
+
+
+def p2g_axis(
+    px: jnp.ndarray,
+    pm: jnp.ndarray,
+    pv: jnp.ndarray,
+    pc_a: jnp.ndarray,
+    axis: int,
+    gres: Sequence[int],
+    face_shape: Sequence[int],
+    bias: Sequence[float],
+    bound_min: Sequence[float],
+    cell_size: Sequence[float],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scatter mass & momentum of one velocity component to its face grid.
+
+    Reference: p2g_particle + p2g_grid (cell 2 :96-177).
+    Returns (gm, gv) of `face_shape`; gv already divided by mass.
+    """
+    d = px.shape[-1]
+    gi, disp, w = _corner_setup(px, bound_min, cell_size, bias)
+    clamp_hi = jnp.asarray(gres, dtype=jnp.int32) - 1  # reference quirk
+
+    idx_list, m_list, mv_list = [], [], []
+    for offs in itertools.product((0, 1), repeat=d):
+        oi = jnp.asarray(offs, dtype=jnp.int32)
+        corner = jnp.clip(gi + oi, 0, clamp_hi)
+        weight = _corner_weight(w, offs)
+        # APIC affine term: cv = Σ_d (disp_d + offs_d h_d) c_a[:, d]
+        off_h = jnp.asarray(
+            [o * h for o, h in zip(offs, cell_size)], dtype=px.dtype
+        )
+        cv = jnp.sum((disp + off_h) * pc_a, axis=-1)
+        idx_list.append(_flat_index(corner, face_shape))
+        m_list.append(weight * pm)
+        mv_list.append(weight * pm * (pv[:, axis] + cv))
+
+    idx = jnp.concatenate(idx_list)
+    vals = jnp.stack(
+        [jnp.concatenate(m_list), jnp.concatenate(mv_list)], axis=-1
+    )
+    size = 1
+    for s in face_shape:
+        size *= s
+    acc = jnp.zeros((size, 2), dtype=px.dtype).at[idx].add(vals)
+    gm = acc[:, 0].reshape(face_shape)
+    gv_m = acc[:, 1].reshape(face_shape)
+    gv = jnp.where(gm > 0, gv_m / jnp.where(gm > 0, gm, 1.0), 0.0)
+    return gm, gv
+
+
+def g2p_axis(
+    px: jnp.ndarray,
+    gv: jnp.ndarray,
+    axis: int,
+    gres: Sequence[int],
+    bias: Sequence[float],
+    bound_min: Sequence[float],
+    cell_size: Sequence[float],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather one velocity component and its APIC affine-gradient row.
+
+    Reference: g2p_particle (cell 3 :174-209).
+    Returns (pv_a (N,), pc_a (N,d)).
+    """
+    d = px.shape[-1]
+    gi, _, w = _corner_setup(px, bound_min, cell_size, bias)
+    clamp_hi = jnp.asarray(gres, dtype=jnp.int32) - 1
+    h = jnp.asarray(cell_size, dtype=px.dtype)
+
+    flat = gv.reshape(-1)
+    pv_a = jnp.zeros(px.shape[0], dtype=px.dtype)
+    cols = [jnp.zeros(px.shape[0], dtype=px.dtype) for _ in range(d)]
+    shape = gv.shape
+    for offs in itertools.product((0, 1), repeat=d):
+        oi = jnp.asarray(offs, dtype=jnp.int32)
+        corner = jnp.clip(gi + oi, 0, clamp_hi)
+        v = flat[_flat_index(corner, shape)]
+        # per-axis weights and their signed derivatives (cell 3 :196-205)
+        wd = [
+            (w[:, k] if o == 1 else 1.0 - w[:, k]) for k, o in enumerate(offs)
+        ]
+        weight = wd[0]
+        for k in range(1, d):
+            weight = weight * wd[k]
+        pv_a = pv_a + weight * v
+        for k in range(d):
+            grad_k = jnp.asarray(2 * offs[k] - 1, dtype=px.dtype)
+            for j in range(d):
+                if j != k:
+                    grad_k = grad_k * wd[j]
+            cols[k] = cols[k] + grad_k * v / h[k]
+    return pv_a, jnp.stack(cols, axis=-1)

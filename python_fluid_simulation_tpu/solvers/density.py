@@ -1,0 +1,313 @@
+"""Implicit density/position projection (3D): volume conservation by
+moving particles.
+
+TPU-native replacement for ``solver/DensityCGSolver3D.py`` (6 CUDA kernels
++ host CG).  Pipeline (reference solve :312-350):
+  scatter particle mass/volume to cell centers → fix_volume clamp →
+  RHS b = (1-ρ_frac)/dt with solid imputation → 7-pt CG (unit-weight
+  diagonal) → face displacement field → trilinear gather onto particles.
+
+Documented divergence (SURVEY §7): the reference's -z matvec face weight
+reads ``wz[x,y,z+1]`` instead of ``wz[x,y,z]`` (DensityCGSolver3D.py:184),
+breaking operator symmetry.  Fixed by default; ``wz_bug=True`` reproduces
+the reference bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import NamedTuple, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from python_fluid_simulation_tpu.ops.fractions import edge_in_fraction
+from python_fluid_simulation_tpu.ops.indexing import (
+    P3_CENTER,
+    dual_sample,
+    interior_mask,
+    sample,
+    shift,
+)
+from python_fluid_simulation_tpu.ops.transfers import (
+    _corner_setup,
+    _corner_weight,
+    _flat_index,
+)
+from python_fluid_simulation_tpu.solvers.cg import SolveStats, cg
+from python_fluid_simulation_tpu.solvers.pressure import _ghost_frac
+
+_FACE_BIAS = {0: (0.0, 0.5, 0.5), 1: (0.5, 0.0, 0.5), 2: (0.5, 0.5, 0.0)}
+
+
+def scatter_mass_volume(
+    px: jnp.ndarray,
+    pm: jnp.ndarray,
+    pvol: float,
+    gres: Sequence[int],
+    bound_min: Sequence[float],
+    cell_size: Sequence[float],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cell-center trilinear scatter of particle mass and volume.
+
+    Reference: initialize_density_kernel (DensityCGSolver3D.py:8-36).
+    """
+    d = px.shape[-1]
+    gi, _, w = _corner_setup(px, bound_min, cell_size, (0.5,) * d)
+    hi = jnp.asarray(gres, dtype=jnp.int32) - 1
+
+    idx_all, val_all = [], []
+    for offs in itertools.product((0, 1), repeat=d):
+        oi = jnp.asarray(offs, dtype=jnp.int32)
+        corner = jnp.clip(gi + oi, 0, hi)
+        weight = _corner_weight(w, offs)
+        idx_all.append(_flat_index(corner, gres))
+        val_all.append(jnp.stack([weight * pm, weight * pvol], axis=-1))
+    idx = jnp.concatenate(idx_all)
+    vals = jnp.concatenate(val_all)
+    size = 1
+    for s in gres:
+        size *= s
+    acc = jnp.zeros((size, 2), dtype=px.dtype).at[idx].add(vals)
+    return (
+        acc[:, 0].reshape(tuple(gres)),
+        acc[:, 1].reshape(tuple(gres)),
+    )
+
+
+def fix_volume(
+    gvol: jnp.ndarray,
+    sphi: jnp.ndarray,
+    lphi: jnp.ndarray,
+    w_faces: Sequence[jnp.ndarray],
+    cell_size: Sequence[float],
+) -> jnp.ndarray:
+    """Clamp the scattered cell volume.
+
+    Reference: fix_volume_kernel (DensityCGSolver3D.py:38-84): interior
+    fluid cells away from solids count as exactly full; every cell is
+    clamped by cell_vol * (non-solid face fraction).
+    """
+    shape = lphi.shape
+    cvol = cell_size[0] * cell_size[1] * cell_size[2]
+    dx = min(cell_size)
+    near_solid = (
+        dual_sample(sphi, P3_CENTER, (0, 0, 0), shape, 1e9) < dx
+    )
+    fluid_internal = lphi < 0
+    for a in range(3):
+        for side in (+1, -1):
+            off = [0, 0, 0]
+            off[a] = side
+            fluid_internal = fluid_internal & (shift(lphi, tuple(off), 1.0) < 0)
+    fluid_vol = jnp.where(fluid_internal & ~near_solid, cvol, gvol)
+    nsf = _nonsolid_frac(w_faces, shape)
+    new = jnp.minimum(fluid_vol, cvol * nsf)
+    return jnp.where(interior_mask(shape), new, gvol)
+
+
+def _nonsolid_frac(w_faces, shape):
+    acc = jnp.zeros(shape, dtype=w_faces[0].dtype)
+    for a in range(3):
+        for side in (+1, -1):
+            off = [0, 0, 0]
+            if side > 0:
+                off[a] = 1
+            acc = acc + sample(w_faces[a], tuple(off), shape, 0.0)
+    return acc / 6.0
+
+
+def density_rhs(
+    rho0: float,
+    dt,
+    gm: jnp.ndarray,
+    gvol: jnp.ndarray,
+    lphi: jnp.ndarray,
+    w_faces: Sequence[jnp.ndarray],
+    cell_size: Sequence[float],
+) -> jnp.ndarray:
+    """b = (1 - clamp(ρ_frac, 0.5, 1.5)) / dt with solid-mass imputation.
+
+    Reference: initialize_solver_kernel (DensityCGSolver3D.py:86-115).
+    """
+    shape = lphi.shape
+    cvol = cell_size[0] * cell_size[1] * cell_size[2]
+    nsf = _nonsolid_frac(w_faces, shape)
+    solid_vol = (1.0 - nsf) * cvol
+    solid_mass = rho0 * solid_vol
+    cell_mass = gm + solid_mass
+    cell_vol = gvol + solid_vol
+    density_frac = cell_mass / jnp.maximum(cell_vol, 1e-10) / rho0
+    density_frac = jnp.where(cell_mass < 1e-10, 1.0, density_frac)
+    density_frac = jnp.clip(density_frac, 0.5, 1.5)
+    b = (1.0 - density_frac) / dt
+    active = interior_mask(shape) & (lphi < 0)
+    return jnp.where(active, b, 0.0)
+
+
+def density_matvec(
+    p: jnp.ndarray,
+    w_faces: Sequence[jnp.ndarray],
+    lphi: jnp.ndarray,
+    wz_bug: bool = False,
+) -> jnp.ndarray:
+    """7-point matvec: off-diagonal uses face weight w, diagonal
+    accumulates 1 (or 1/frac) unweighted.
+
+    Reference: matvecmul_kernel (DensityCGSolver3D.py:117-194).
+    """
+    shape = lphi.shape
+    val = jnp.zeros(shape, dtype=p.dtype)
+    diag = jnp.zeros(shape, dtype=p.dtype)
+    for a in range(3):
+        for side in (+1, -1):
+            off = [0, 0, 0]
+            off[a] = side
+            nphi = shift(lphi, tuple(off), 1.0)
+            woff = [0, 0, 0]
+            if side > 0:
+                woff[a] = 1
+            if wz_bug and a == 2 and side < 0:
+                woff[a] = 1  # reference reads wz[x,y,z+1] for the -z face
+            w = sample(w_faces[a], tuple(woff), shape, 0.0)
+            nv = shift(p, tuple(off), 0.0)
+            fluid_n = nphi < 0
+            frac = _ghost_frac(lphi, nphi)
+            val = val - jnp.where(fluid_n, w * nv, 0.0)
+            diag = diag + jnp.where(fluid_n, 1.0, 1.0 / frac)
+    out = val + diag * p
+    active = interior_mask(shape) & (lphi < 0)
+    return jnp.where(active, out, 0.0)
+
+
+def density_diag(lphi: jnp.ndarray) -> jnp.ndarray:
+    shape = lphi.shape
+    diag = jnp.zeros(shape, dtype=lphi.dtype)
+    for a in range(3):
+        for side in (+1, -1):
+            off = [0, 0, 0]
+            off[a] = side
+            nphi = shift(lphi, tuple(off), 1.0)
+            frac = _ghost_frac(lphi, nphi)
+            diag = diag + jnp.where(nphi < 0, 1.0, 1.0 / frac)
+    active = interior_mask(shape) & (lphi < 0)
+    return jnp.where(active & (diag > 0), diag, 1.0)
+
+
+def compute_displacement(
+    p: jnp.ndarray,
+    lphi: jnp.ndarray,
+    dt,
+    cell_size: Sequence[float],
+    face_shapes,
+) -> Tuple[jnp.ndarray, ...]:
+    """Face displacement Δ_a = (p[i] - p[i-1]) dt h_a / θ_ghost.
+
+    Reference: compute_displacement_kernel (DensityCGSolver3D.py:196-209) —
+    computed on every face with axis-index in [1, gres-1] regardless of
+    the fluid mask.
+    """
+    gres = lphi.shape
+    out = []
+    for a in range(3):
+        fshape = face_shapes[a]
+        off_m = [0, 0, 0]
+        off_m[a] = -1
+        phi_c = sample(lphi, (0, 0, 0), fshape, 1.0)
+        phi_m = sample(lphi, tuple(off_m), fshape, 1.0)
+        theta = jnp.clip(edge_in_fraction(phi_c, phi_m), 0.01, 1.0)
+        p_c = sample(p, (0, 0, 0), fshape, 0.0)
+        p_m = sample(p, tuple(off_m), fshape, 0.0)
+        d = (p_c - p_m) * dt * cell_size[a] / theta
+        active = interior_mask(fshape, active_hi=gres)
+        out.append(jnp.where(active, d, 0.0))
+    return tuple(out)
+
+
+def apply_displacement(
+    px: jnp.ndarray,
+    disp_faces: Sequence[jnp.ndarray],
+    bound_min: Sequence[float],
+    cell_size: Sequence[float],
+) -> jnp.ndarray:
+    """Gather the face displacement fields onto particle positions.
+
+    Reference: apply_displacement_kernel (DensityCGSolver3D.py:211-238);
+    note the gather clamps to the *face array* dims (``dx.shape - 1``),
+    unlike P2G which clamps to the base resolution.
+    """
+    d = px.shape[-1]
+    new_px = px
+    for a in range(3):
+        arr = disp_faces[a]
+        bias = _FACE_BIAS[a][:d]
+        gi, _, w = _corner_setup(px, bound_min, cell_size, bias)
+        hi = jnp.asarray(arr.shape, dtype=jnp.int32) - 1
+        flat = arr.reshape(-1)
+        acc = jnp.zeros(px.shape[0], dtype=px.dtype)
+        for offs in itertools.product((0, 1), repeat=d):
+            oi = jnp.asarray(offs, dtype=jnp.int32)
+            corner = jnp.clip(gi + oi, 0, hi)
+            weight = _corner_weight(w, offs)
+            acc = acc + weight * flat[_flat_index(corner, arr.shape)]
+        new_px = new_px.at[:, a].add(acc)
+    return new_px
+
+
+class DensityResult(NamedTuple):
+    px: jnp.ndarray
+    stats: SolveStats
+
+
+def density_solve_3d(
+    rho0: float,
+    dt,
+    px: jnp.ndarray,
+    pm: jnp.ndarray,
+    pvol: float,
+    sphi: jnp.ndarray,
+    lphi: jnp.ndarray,
+    w_faces: Sequence[jnp.ndarray],
+    bound_min: Sequence[float],
+    cell_size: Sequence[float],
+    *,
+    tol: float = 1e-3,
+    rel_tol: float = 1e-6,
+    max_iter: int = 2000,
+    jacobi_precond: bool = True,
+    wz_bug: bool = False,
+) -> DensityResult:
+    """Full density projection; returns moved particle positions.
+
+    Reference: DensityCGSolver3D.solve (:312-350) — initial guess x = 0.
+    """
+    gres = lphi.shape
+    gm, gvol = scatter_mass_volume(px, pm, pvol, gres, bound_min, cell_size)
+    gvol = fix_volume(gvol, sphi, lphi, w_faces, cell_size)
+    b = density_rhs(rho0, dt, gm, gvol, lphi, w_faces, cell_size)
+
+    def matvec(p):
+        return density_matvec(p, w_faces, lphi, wz_bug=wz_bug)
+
+    precond = None
+    if jacobi_precond:
+        diag = density_diag(lphi)
+
+        def precond(r):  # noqa: F811
+            return r / diag
+
+    x, stats = cg(
+        matvec,
+        b,
+        jnp.zeros_like(b),
+        tol=tol,
+        rel_tol=rel_tol,
+        max_iter=max_iter,
+        precond=precond,
+    )
+    face_shapes = [
+        tuple(n + (1 if i == a else 0) for i, n in enumerate(gres))
+        for a in range(3)
+    ]
+    disp = compute_displacement(x, lphi, dt, cell_size, face_shapes)
+    new_px = apply_displacement(px, disp, bound_min, cell_size)
+    return DensityResult(new_px, stats)

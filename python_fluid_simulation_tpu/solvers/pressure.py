@@ -1,0 +1,222 @@
+"""Variational cut-cell pressure projection (3D), matrix-free.
+
+TPU-native replacement for ``solver/PressureCGSolver3D.py`` (3 CUDA kernels
++ host CG loop).  The 7-point ghost-fluid matvec, RHS build and velocity
+update are pure XLA stencils (shifts + where); the CG loop is the shared
+on-device solver in ``cg.py``.  The dt-scaled variational assembly flag
+reproduces the *intent* of the abandoned ``PressureCGSolver3D_batty.py``
+(term = w·dt/√dx, :220-294) — same linear system, scaled — without its
+bugs (SURVEY §2.1).
+
+Solution convention matches the reference: x = -pressure · dt / (ρ·V_cell)
+(PressureCGSolver3D.py:225).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from python_fluid_simulation_tpu.ops.fractions import edge_in_fraction
+from python_fluid_simulation_tpu.ops.indexing import (
+    P3_CENTER,
+    dual_sample,
+    face_parity,
+    interior_mask,
+    sample,
+    shift,
+)
+from python_fluid_simulation_tpu.solvers.cg import SolveStats, cg
+
+_GHOST_CLIP = (0.01, 1.0)  # frac = clamp(phi/(phi-nphi), 0.01, 1)
+
+
+def _ghost_frac(phi, nphi):
+    denom = phi - nphi
+    safe = jnp.where(denom == 0, 1.0, denom)
+    return jnp.clip(phi / safe, *_GHOST_CLIP)
+
+
+def _face_w_v(arrs, axis, side, cell_shape):
+    """Face-array value seen from cells: side=+1 the high face (idx+1),
+    side=-1 the low face (idx)."""
+    off = [0, 0, 0]
+    if side > 0:
+        off[axis] = 1
+    return sample(arrs, tuple(off), cell_shape, 0.0)
+
+
+def pressure_rhs_3d(
+    v_faces: Sequence[jnp.ndarray],
+    sv: jnp.ndarray,
+    lphi: jnp.ndarray,
+    w_faces: Sequence[jnp.ndarray],
+    cell_size: Sequence[float],
+) -> jnp.ndarray:
+    """Divergence RHS with solid-velocity flux correction.
+
+    Reference: initialize_solver_kernel (PressureCGSolver3D.py:6-50).
+    """
+    shape = lphi.shape
+    b = jnp.zeros(shape, dtype=v_faces[0].dtype)
+    for a in range(3):
+        h = cell_size[a]
+        for side in (+1, -1):
+            w = _face_w_v(w_faces[a], a, side, shape)
+            v = _face_w_v(v_faces[a], a, side, shape)
+            sgn = 1.0 if side > 0 else -1.0
+            b = b + sgn * w * v / h
+            # solid-velocity flux where the face is partially solid (w<1):
+            # sv sampled at the face site, e.g. sv[2x+2, 2y+1, 2z+1, 0]
+            off = [0, 0, 0]
+            off[a] = side
+            svf = dual_sample(sv[..., a], P3_CENTER, tuple(off), shape, 0.0)
+            b = b - jnp.where(w < 1, sgn * w * svf / h, 0.0)
+    active = interior_mask(shape) & (lphi < 0)
+    return jnp.where(active, b, 0.0)
+
+
+def pressure_matvec_3d(
+    p: jnp.ndarray,
+    w_faces: Sequence[jnp.ndarray],
+    lphi: jnp.ndarray,
+    unit_diag_weight: bool = False,
+) -> jnp.ndarray:
+    """7-point ghost-fluid matvec.
+
+    Reference: matvecmul_kernel (PressureCGSolver3D.py:52-130).  With
+    ``unit_diag_weight=True`` the diagonal accumulates 1 (or 1/frac)
+    instead of w — that is the density solver's variant
+    (DensityCGSolver3D.py:117-194).
+    """
+    shape = lphi.shape
+    phi = lphi
+    val = jnp.zeros(shape, dtype=p.dtype)
+    diag = jnp.zeros(shape, dtype=p.dtype)
+    for a in range(3):
+        for side in (+1, -1):
+            off = [0, 0, 0]
+            off[a] = side
+            nphi = shift(lphi, tuple(off), 1.0)  # out of range: non-fluid
+            w = _face_w_v(w_faces[a], a, side, shape)
+            nv = shift(p, tuple(off), 0.0)
+            fluid_n = nphi < 0
+            frac = _ghost_frac(phi, nphi)
+            dw = jnp.ones_like(w) if unit_diag_weight else w
+            val = val - jnp.where(fluid_n, w * nv, 0.0)
+            diag = diag + jnp.where(fluid_n, dw, dw / frac)
+    out = val + diag * p
+    active = interior_mask(shape) & (lphi < 0)
+    return jnp.where(active, out, 0.0)
+
+
+def pressure_diag_3d(
+    w_faces: Sequence[jnp.ndarray],
+    lphi: jnp.ndarray,
+    unit_diag_weight: bool = False,
+) -> jnp.ndarray:
+    """Operator diagonal (for Jacobi preconditioning); 1 outside the domain."""
+    shape = lphi.shape
+    diag = jnp.zeros(shape, dtype=lphi.dtype)
+    for a in range(3):
+        for side in (+1, -1):
+            off = [0, 0, 0]
+            off[a] = side
+            nphi = shift(lphi, tuple(off), 1.0)
+            w = _face_w_v(w_faces[a], a, side, shape)
+            frac = _ghost_frac(lphi, nphi)
+            dw = jnp.ones_like(w) if unit_diag_weight else w
+            diag = diag + jnp.where(nphi < 0, dw, dw / frac)
+    active = interior_mask(shape) & (lphi < 0)
+    return jnp.where(active & (diag > 0), diag, 1.0)
+
+
+def apply_pressure_3d(
+    v_faces: Sequence[jnp.ndarray],
+    p: jnp.ndarray,
+    w_faces: Sequence[jnp.ndarray],
+    sv: jnp.ndarray,
+    lphi: jnp.ndarray,
+    cell_size: Sequence[float],
+) -> Tuple[jnp.ndarray, ...]:
+    """Velocity update v += ∇x·h/θ with solid-velocity blending.
+
+    Reference: apply_pressure_kernel (PressureCGSolver3D.py:132-153).
+    Faces are active for axis-index in [1, gres-1] — the trailing face
+    plane (index gres) is never updated, matching the kernel bounds (:135).
+    """
+    gres = lphi.shape
+    out = []
+    for a in range(3):
+        fshape = v_faces[a].shape
+        off_m = [0, 0, 0]
+        off_m[a] = -1
+        phi_c = sample(lphi, (0, 0, 0), fshape, 1.0)
+        phi_m = sample(lphi, tuple(off_m), fshape, 1.0)
+        p_c = sample(p, (0, 0, 0), fshape, 0.0)
+        p_m = sample(p, tuple(off_m), fshape, 0.0)
+        theta = jnp.clip(edge_in_fraction(phi_c, phi_m), *_GHOST_CLIP)
+        new_v = v_faces[a] + (p_c - p_m) * cell_size[a] / theta
+        w = w_faces[a]
+        svf = dual_sample(sv[..., a], face_parity(a, 3), (0, 0, 0), fshape, 0.0)
+        blended = w * new_v + (1.0 - w) * svf
+        active = (
+            interior_mask(fshape, active_hi=gres)
+            & ((phi_c < 0) | (phi_m < 0))
+        )
+        out.append(jnp.where(active, blended, v_faces[a]))
+    return tuple(out)
+
+
+class PressureResult(NamedTuple):
+    v_faces: Tuple[jnp.ndarray, ...]
+    pressure: jnp.ndarray  # x = -p dt/(rho Vcell)
+    stats: SolveStats
+
+
+def pressure_solve_3d(
+    v_faces: Sequence[jnp.ndarray],
+    sv: jnp.ndarray,
+    lphi: jnp.ndarray,
+    w_faces: Sequence[jnp.ndarray],
+    cell_size: Sequence[float],
+    *,
+    tol: float = 1e-3,
+    rel_tol: float = 1e-6,
+    max_iter: int = 2000,
+    jacobi_precond: bool = True,
+    dt_scale: float | None = None,
+) -> PressureResult:
+    """Full projection: RHS → CG → apply.
+
+    Reference: PressureCGSolver3D.solve (:192-226); initial guess x = 0
+    (:198).  ``dt_scale`` engages the Batty-style dt-scaled assembly
+    (PressureCGSolver3D_batty.py intent): both sides scale by dt so the
+    solution is identical after unscaling.
+    """
+    b = pressure_rhs_3d(v_faces, sv, lphi, w_faces, cell_size)
+    s = 1.0 if dt_scale is None else dt_scale
+
+    def matvec(p):
+        return s * pressure_matvec_3d(p, w_faces, lphi)
+
+    precond = None
+    if jacobi_precond:
+        diag = s * pressure_diag_3d(w_faces, lphi)
+
+        def precond(r):  # noqa: F811
+            return r / diag
+
+    x0 = jnp.zeros_like(b)
+    x, stats = cg(
+        matvec,
+        s * b,
+        x0,
+        tol=tol,
+        rel_tol=rel_tol,
+        max_iter=max_iter,
+        precond=precond,
+    )
+    new_v = apply_pressure_3d(v_faces, x, w_faces, sv, lphi, cell_size)
+    return PressureResult(new_v, x, stats)

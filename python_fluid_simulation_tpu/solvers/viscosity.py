@@ -1,0 +1,275 @@
+"""Variational implicit viscosity (3D): coupled (vx,vy,vz) solve.
+
+TPU-native replacement for ``solver/ViscosityCGSolver3D.py`` (8 CUDA
+kernels + host CG) — the reference's hottest stencil (SURVEY §3.1): per
+axis 6 same-field + 8 cross-field couplings, with control volumes sampled
+from the dual-lattice fluid-volume field.
+
+The three per-axis kernels are generated from ONE term table exploiting
+the operator's cyclic symmetry; the table was verified literal-by-literal
+against matvecmul_{x,y,z}_kernel (:248-456) and
+initialize_solver_{x,y,z}_kernel (:41-246).  In dual-lattice offsets from
+a face site (e_k = one dual step along axis k):
+
+  diag  = vol(0) + s·( 2·vol(+e_a) + 2·vol(-e_a) + Σ_{t≠a} vol(+e_t)+vol(-e_t) )
+  same-field a-dir:  cond ±2e_a  → -2s·vol(±e_a)·v_a(±1_a)
+  same-field t-dir:  cond ±2e_t  → -s·vol(±e_t)·v_a(±1_t)
+  cross-field t, hi: cond  e_a+e_t → -s·vol(+e_t)·v_t(+1_t)
+                     cond -e_a+e_t → +s·vol(+e_t)·v_t(+1_t,-1_a)
+  cross-field t, lo: cond  e_a-e_t → +s·vol(-e_t)·v_t(0)
+                     cond -e_a-e_t → -s·vol(-e_t)·v_t(-1_a)
+
+Matvec couples where the neighbour face site is fluid (sphi >= 0,
+3D sign convention — note the 2D solver uses sphi > 0, SURVEY §2.1);
+the RHS moves solid (Dirichlet) neighbour contributions to b with the
+opposite sign, evaluated on velocities first extrapolated 3 Jacobi layers
+into the solid (solve :573, extrapolate_kernel :8-39).
+
+scale = dt/(cell_vol·rho); vol = lvol/(cell_vol·0.125)  (solve :567-568).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from python_fluid_simulation_tpu.ops.extrapolate import extrapolate
+from python_fluid_simulation_tpu.ops.indexing import (
+    dual_sample,
+    face_parity,
+    interior_mask,
+    parity_view,
+    sample,
+)
+from python_fluid_simulation_tpu.solvers.cg import SolveStats, cg
+
+
+def _terms_for_axis(a: int):
+    """(cond_dual_offset, field, v_face_offset, vol_dual_offset, factor, sign)
+
+    sign/factor are the MATVEC convention: val += sign*factor*s*vol*v.
+    The RHS uses -sign with the solid-side condition.
+    """
+    terms = []
+
+    def e(k, n=1):
+        v = [0, 0, 0]
+        v[k] = n
+        return tuple(v)
+
+    def add(cond, field, voff, vol, factor, sign):
+        terms.append((cond, field, voff, vol, factor, sign))
+
+    # same-field, face-axis direction (factor 2)
+    for sgn in (+1, -1):
+        add(e(a, 2 * sgn), a, e(a, sgn), e(a, sgn), 2.0, -1.0)
+    # same-field, transverse directions
+    for t in range(3):
+        if t == a:
+            continue
+        for sgn in (+1, -1):
+            add(e(t, 2 * sgn), a, e(t, sgn), e(t, sgn), 1.0, -1.0)
+    # cross-field couplings
+    for t in range(3):
+        if t == a:
+            continue
+        ea, et = e(a), e(t)
+
+        def plus(u, v):
+            return tuple(x + y for x, y in zip(u, v))
+
+        def minus(u, v):
+            return tuple(x - y for x, y in zip(u, v))
+
+        # hi side (+e_t volume)
+        add(plus(ea, et), t, et, et, 1.0, -1.0)
+        add(plus(tuple(-x for x in ea), et), t, minus(et, ea), et, 1.0, +1.0)
+        # lo side (-e_t volume)
+        add(minus(ea, et), t, (0, 0, 0), tuple(-x for x in et), 1.0, +1.0)
+        add(
+            minus(tuple(-x for x in ea), et),
+            t,
+            tuple(-x for x in ea),
+            tuple(-x for x in et),
+            1.0,
+            -1.0,
+        )
+    return terms
+
+
+def _axis_fields(a, sphi, vol, shape):
+    parity = face_parity(a, 3)
+
+    def sph(off):
+        return dual_sample(sphi, parity, off, shape, fill=-1.0)
+
+    def vl(off):
+        return dual_sample(vol, parity, off, shape, fill=0.0)
+
+    return parity, sph, vl
+
+
+def _diag_axis(a, s_mu, sphi, vol, shape):
+    _, sph, vl = _axis_fields(a, sphi, vol, shape)
+    acc = vl((0, 0, 0))
+    extra = jnp.zeros(shape, dtype=vol.dtype)
+    for k in range(3):
+        factor = 2.0 if k == a else 1.0
+        for sgn in (+1, -1):
+            off = [0, 0, 0]
+            off[k] = sgn
+            extra = extra + factor * vl(tuple(off))
+    return acc + s_mu * extra
+
+
+def viscosity_matvec_3d(
+    v_faces: Sequence[jnp.ndarray],
+    s_mu,
+    sphi: jnp.ndarray,
+    vol: jnp.ndarray,
+) -> Tuple[jnp.ndarray, ...]:
+    """One application of the coupled operator to (vx, vy, vz)."""
+    out = []
+    for a in range(3):
+        shape = v_faces[a].shape
+        _, sph, _ = _axis_fields(a, sphi, vol, shape)
+        diag = _diag_axis(a, s_mu, sphi, vol, shape)
+        val = diag * v_faces[a]
+        for cond_off, field, voff, vol_off, factor, sign in _terms_for_axis(a):
+            fluid_n = (
+                dual_sample(sphi, face_parity(a, 3), cond_off, shape, -1.0)
+                >= 0
+            )
+            vv = sample(v_faces[field], voff, shape, 0.0)
+            vcoef = dual_sample(vol, face_parity(a, 3), vol_off, shape, 0.0)
+            val = val + jnp.where(
+                fluid_n, sign * factor * s_mu * vcoef * vv, 0.0
+            )
+        active = interior_mask(shape) & (sph((0, 0, 0)) >= 0)
+        out.append(jnp.where(active, val, 0.0))
+    return tuple(out)
+
+
+def viscosity_rhs_3d(
+    v_faces: Sequence[jnp.ndarray],
+    s_mu,
+    sphi: jnp.ndarray,
+    vol: jnp.ndarray,
+) -> Tuple[jnp.ndarray, ...]:
+    """b_a = vol_c·v_a + Σ solid-neighbour Dirichlet terms.
+
+    Reference: initialize_solver_{x,y,z}_kernel (:41-246); the input
+    velocities must already be extrapolated into the solid.
+    """
+    out = []
+    for a in range(3):
+        shape = v_faces[a].shape
+        _, sph, vl = _axis_fields(a, sphi, vol, shape)
+        b = vl((0, 0, 0)) * v_faces[a]
+        for cond_off, field, voff, vol_off, factor, sign in _terms_for_axis(a):
+            solid_n = (
+                dual_sample(sphi, face_parity(a, 3), cond_off, shape, -1.0)
+                < 0
+            )
+            vv = sample(v_faces[field], voff, shape, 0.0)
+            vcoef = dual_sample(vol, face_parity(a, 3), vol_off, shape, 0.0)
+            b = b + jnp.where(
+                solid_n, -sign * factor * s_mu * vcoef * vv, 0.0
+            )
+        active = interior_mask(shape) & (sph((0, 0, 0)) >= 0)
+        out.append(jnp.where(active, b, 0.0))
+    return tuple(out)
+
+
+def viscosity_diag_3d(s_mu, sphi, vol, face_shapes):
+    """Operator diagonal for Jacobi preconditioning (1 where inactive)."""
+    out = []
+    for a in range(3):
+        shape = face_shapes[a]
+        _, sph, _ = _axis_fields(a, sphi, vol, shape)
+        diag = _diag_axis(a, s_mu, sphi, vol, shape)
+        active = interior_mask(shape) & (sph((0, 0, 0)) >= 0)
+        out.append(jnp.where(active & (diag > 0), diag, 1.0))
+    return tuple(out)
+
+
+class ViscosityResult(NamedTuple):
+    v_faces: Tuple[jnp.ndarray, ...]
+    stats: SolveStats
+
+
+def viscosity_solve_3d(
+    dt,
+    mu: float,
+    rho: float,
+    v_faces: Sequence[jnp.ndarray],
+    sphi: jnp.ndarray,
+    lvol: jnp.ndarray,
+    cell_vol: float,
+    *,
+    tol: float = 1e-3,
+    rel_tol: float = 1e-6,
+    max_iter: int = 2000,
+    jacobi_precond: bool = True,
+    extrap_iters: int = 3,
+) -> ViscosityResult:
+    """Full implicit viscosity solve.
+
+    Reference: ViscosityCGSolver3D.solve (:566-613): velocities are copied,
+    extrapolated 3 Jacobi layers into the solid (valid = sphi >= 0 at face
+    sites), the RHS is built from the extrapolated field, CG runs with the
+    extrapolated field as the initial guess (warm start), and the solution
+    is written back only at non-solid faces (apply_viscosity_kernel
+    :458-470).
+    """
+    scale = dt / cell_vol / rho
+    s_mu = scale * mu
+    vol = lvol / (cell_vol * 0.125)
+
+    ext = []
+    for a in range(3):
+        valid = parity_view(sphi, face_parity(a, 3)) >= 0
+        v_e, _ = extrapolate(v_faces[a], valid, extrap_iters)
+        ext.append(v_e)
+    ext = tuple(ext)
+
+    b = viscosity_rhs_3d(ext, s_mu, sphi, vol)
+
+    def matvec(vs):
+        return viscosity_matvec_3d(vs, s_mu, sphi, vol)
+
+    precond = None
+    if jacobi_precond:
+        diag = viscosity_diag_3d(
+            s_mu, sphi, vol, [v.shape for v in v_faces]
+        )
+
+        def precond(rs):  # noqa: F811
+            return tuple(r / d for r, d in zip(rs, diag))
+
+    x, stats = cg(
+        matvec,
+        b,
+        ext,
+        tol=tol,
+        rel_tol=rel_tol,
+        max_iter=max_iter,
+        precond=precond,
+    )
+
+    out = []
+    for a in range(3):
+        nonsolid = parity_view(sphi, face_parity(a, 3)) >= 0
+        active = (
+            interior_mask(
+                v_faces[a].shape,
+                active_hi=tuple(
+                    s - (1 if i == a else 0)
+                    for i, s in enumerate(v_faces[a].shape)
+                ),
+            )
+            & nonsolid
+        )
+        out.append(jnp.where(active, x[a], v_faces[a]))
+    return ViscosityResult(tuple(out), stats)

@@ -1,0 +1,34 @@
+"""Test env bootstrap.
+
+The container pins the remote-TPU ("axon") backend in every interpreter:
+a PYTHONPATH sitecustomize registers an IFRT-proxy backend at startup and
+calls ``jax.config.update("jax_platforms", "axon,cpu")``, which overrides
+the JAX_PLATFORMS env var and routes every op through the TPU tunnel
+(seconds per eager op).  JAX backends initialise lazily, so flipping the
+config back *before any test touches a device* restores plain CPU.
+
+We also expose 8 virtual CPU devices so sharding / halo-exchange tests
+exercise real multi-device code paths without a TPU pod (SURVEY §4: the
+TPU-native analogue of a fake multi-node backend).
+"""
+
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def pytest_sessionstart(session):
+    assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
+    assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
