@@ -1,0 +1,67 @@
+"""Benchmark: sim steps/sec on the reference's buckling scene.
+
+Baseline (BASELINE.md): the reference's only recorded run — 48x80x48
+buckling, 'unet' viscosity mode — at ~1.64 s/step => 0.61 steps/s on an
+RTX-3090-class GPU.  We run the SAME scene in 'apic' mode (classic CG
+viscosity — strictly MORE work per step than the baseline's UNet path)
+fully jitted under lax.scan, and report steps/s.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N}
+
+Env knobs: BENCH_STEPS (default 20), BENCH_DX (default 0.0125),
+BENCH_WARMUP (default 3).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_STEPS_PER_S = 0.61  # BASELINE.md end-to-end 1.64 s/step
+
+
+def main():
+    import jax
+
+    from python_fluid_simulation_tpu.engine.scenes import (
+        buckling_config,
+        buckling_scene,
+    )
+    from python_fluid_simulation_tpu.engine.step import simulate
+
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "3"))
+    dx = float(os.environ.get("BENCH_DX", "0.0125"))
+
+    cfg = buckling_config(dx=dx, mu=1.0, viscosity_mode="apic")
+    state = buckling_scene(cfg)
+    n_particles = int(state.particles.x.shape[0])
+
+    # compile + warm up (first run includes remote-compile latency)
+    s_w, _ = simulate(state, cfg, warmup)
+    jax.block_until_ready(s_w)
+
+    t0 = time.perf_counter()
+    s_f, metrics = simulate(state, cfg, steps)
+    jax.block_until_ready(s_f)
+    elapsed = time.perf_counter() - t0
+
+    steps_per_s = steps / elapsed
+    out = {
+        "metric": (
+            f"sim steps/s, 3D buckling {cfg.grid.res[0]}x{cfg.grid.res[1]}"
+            f"x{cfg.grid.res[2]} grid, {n_particles} particles, apic "
+            f"viscosity CG (reference: 0.61 steps/s unet mode, RTX3090)"
+        ),
+        "value": round(steps_per_s, 4),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 2),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""Feature builder + output extraction for the learned viscosity operator.
+
+Reference: notebook cell 12 (:824-911).  Staggered velocities are embedded
+at their parity sites in a conv-friendly padded box (multiple of 16 per
+axis so 4 pool levels divide evenly), 9 masked central-difference
+velocity-gradient channels are formed, sphi becomes a binary solid mask,
+lvol is normalised by the cell volume of the coarse grid, and the model's
+3 output channels are read back at the face parities as Δv (scaled by DT:
+``output / int(1/DT)``, :907).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+
+
+def _pad16(n: int) -> int:
+    return ((n + 15) // 16) * 16
+
+
+def padded_box(dual_res: Sequence[int]) -> Tuple[Tuple[int, int, int], Tuple[int, int, int]]:
+    """(data_size, pad_lo) per cell-12's data_size computation (:834-838)."""
+    data = tuple(_pad16(s) for s in dual_res)
+    pad = tuple((d - s) // 2 for d, s in zip(data, dual_res))
+    return data, pad
+
+
+def _embed(field, data_size, pad, parity):
+    """Place a face-parity field at its dual-lattice sites inside the box."""
+    out = jnp.zeros(data_size, field.dtype)
+    # start = pad + parity, stride 2, length = field extent
+    sl = tuple(
+        slice(p + q, p + q + 2 * n, 2)
+        for p, q, n in zip(pad, parity, field.shape)
+    )
+    return out.at[sl].set(field)
+
+
+def _masked_central_diff(g, axis):
+    """d[i] = g[i-1] - g[i+1], zeroed where either neighbour is exactly 0.
+
+    Reference: grad_v (cell 12 :844-883).  Operating on the sparse parity
+    embedding, nonzero results land on the correct derivative parities.
+    """
+    lo = jnp.roll(g, 1, axis)
+    hi = jnp.roll(g, -1, axis)
+    d = lo - hi
+    d = jnp.where((lo == 0) | (hi == 0), 0.0, d)
+    # zero the boundary slices the roll wrapped
+    idx = jnp.arange(g.shape[axis])
+    shape = [1] * g.ndim
+    shape[axis] = g.shape[axis]
+    interior = ((idx > 0) & (idx < g.shape[axis] - 1)).reshape(shape)
+    return jnp.where(interior, d, 0.0)
+
+
+_FACE_PARITY = ((0, 1, 1), (1, 0, 1), (1, 1, 0))
+
+
+def build_unet_input(
+    gv: Sequence[jnp.ndarray],
+    sphi: jnp.ndarray,
+    lvol: jnp.ndarray,
+    cell_vol_norm: float,
+) -> jnp.ndarray:
+    """(1, D, H, W, 11) channels-last input. Channel order matches cell 12
+    :899: [dxdx, dydy, dzdz, dxdy, dxdz, dydx, dydz, dzdx, dzdy,
+    solid_mask, lvol_norm]."""
+    dual = sphi.shape
+    data_size, pad = padded_box(dual)
+    emb = [
+        _embed(gv[a], data_size, pad, _FACE_PARITY[a]) for a in range(3)
+    ]
+    grads = []
+    for a in range(3):  # dxdx, dydy, dzdz (diagonal first)
+        grads.append(_masked_central_diff(emb[a], a))
+    ordered = [grads[0], grads[1], grads[2]]
+    # off-diagonals in reference order: dxdy, dxdz, dydx, dydz, dzdx, dzdy
+    for a, ax in ((0, 1), (0, 2), (1, 0), (1, 2), (2, 0), (2, 1)):
+        ordered.append(_masked_central_diff(emb[a], ax))
+
+    # solid mask: 1 where sphi <= 0 (solid), 0 where fluid/air; the box
+    # padding counts as solid (sphi_sympad initialised to -1, :838)
+    mask = jnp.ones(data_size, jnp.float32)
+    window = tuple(slice(p, p + s) for p, s in zip(pad, dual))
+    mask = mask.at[window].set((sphi <= 0).astype(jnp.float32))
+    lv = jnp.zeros(data_size, jnp.float32)
+    lv = lv.at[window].set(lvol / cell_vol_norm)
+
+    x = jnp.stack(ordered + [mask, lv], axis=-1)
+    return x[None, ...]
+
+
+def extract_delta_v(
+    output: jnp.ndarray,
+    dual_res: Sequence[int],
+    face_shapes,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """De-interleave the 3 output channels at face parities (:909-911)."""
+    _, pad = padded_box(dual_res)
+    out = []
+    for a in range(3):
+        parity = _FACE_PARITY[a]
+        n = face_shapes[a]
+        sl = tuple(
+            slice(p + q, p + q + 2 * k, 2)
+            for p, q, k in zip(pad, parity, n)
+        )
+        out.append(output[0, ..., a][sl])
+    return tuple(out)
+
+
+def unet_delta_v(apply_fn, params, gv, sphi, lvol, cfg):
+    """Full learned-viscosity forward: features -> UNet -> Δv·dt.
+
+    Unlike the reference (which re-instantiates the model and reloads the
+    checkpoint from disk every step, cell 12 :904-906), params are plain
+    pytree leaves of the jitted step.
+    """
+    dx = cfg.grid.dx
+    x = build_unet_input(gv, sphi, lvol, dx**3)
+    out = apply_fn(params, x) / int(round(1.0 / cfg.physics.dt))
+    return extract_delta_v(out, sphi.shape, [v.shape for v in gv])

@@ -1,0 +1,107 @@
+"""3D U-Net for the learned viscosity operator (Flax).
+
+Port of the reference's ``model_3d.py`` (PyTorch): 4 AvgPool downsamples,
+encoder 64-64 / 128-128 / 256-256 / 512-512 / 1024 bottleneck, decoder
+with ConvTranspose unpooling + skip concats, every block =
+Conv3d(k3,s1,p1) + Tanh (CBR3d, model_3d.py:14-24), final 1x1x1 conv to 3
+channels (:82).
+
+TPU-native choices: channels-last (NDHWC) layout so XLA maps convs onto
+the MXU without transposes, and an optional ``dtype=bfloat16`` compute
+path (params stay fp32).  Submodule names mirror the torch attribute
+names so checkpoint conversion is 1:1 (convert.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class CBR3d(nn.Module):
+    """Conv3d(k3, s1, p1) + Tanh. Reference: model_3d.py:14-24."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.features,
+            kernel_size=(3, 3, 3),
+            strides=(1, 1, 1),
+            padding=1,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        return jnp.tanh(x)
+
+
+class UNet3D(nn.Module):
+    """Reference: model_3d.py UNet (:9-136). in_channels inferred from x."""
+
+    out_channels: int = 3
+    width: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.width
+        dt = self.dtype
+
+        def pool(v):
+            return nn.avg_pool(v, (2, 2, 2), strides=(2, 2, 2))
+
+        enc1_1 = CBR3d(w, dt, name="enc1_1")(x)
+        enc1_2 = CBR3d(w, dt, name="enc1_2")(enc1_1)
+        enc2_1 = CBR3d(2 * w, dt, name="enc2_1")(pool(enc1_2))
+        enc2_2 = CBR3d(2 * w, dt, name="enc2_2")(enc2_1)
+        enc3_1 = CBR3d(4 * w, dt, name="enc3_1")(pool(enc2_2))
+        enc3_2 = CBR3d(4 * w, dt, name="enc3_2")(enc3_1)
+        enc4_1 = CBR3d(8 * w, dt, name="enc4_1")(pool(enc3_2))
+        enc4_2 = CBR3d(8 * w, dt, name="enc4_2")(enc4_1)
+        enc5_1 = CBR3d(16 * w, dt, name="enc5_1")(pool(enc4_2))
+
+        dec5_1 = CBR3d(8 * w, dt, name="dec5_1")(enc5_1)
+
+        def unpool(v, feats, name):
+            return nn.ConvTranspose(
+                feats,
+                kernel_size=(2, 2, 2),
+                strides=(2, 2, 2),
+                padding="VALID",
+                dtype=dt,
+                name=name,
+            )(v)
+
+        up4 = unpool(dec5_1, 8 * w, "unpool4")
+        dec4_2 = CBR3d(8 * w, dt, name="dec4_2")(
+            jnp.concatenate([up4, enc4_2], axis=-1)
+        )
+        dec4_1 = CBR3d(4 * w, dt, name="dec4_1")(dec4_2)
+        up3 = unpool(dec4_1, 4 * w, "unpool3")
+        dec3_2 = CBR3d(4 * w, dt, name="dec3_2")(
+            jnp.concatenate([up3, enc3_2], axis=-1)
+        )
+        dec3_1 = CBR3d(2 * w, dt, name="dec3_1")(dec3_2)
+        up2 = unpool(dec3_1, 2 * w, "unpool2")
+        dec2_2 = CBR3d(2 * w, dt, name="dec2_2")(
+            jnp.concatenate([up2, enc2_2], axis=-1)
+        )
+        dec2_1 = CBR3d(w, dt, name="dec2_1")(dec2_2)
+        up1 = unpool(dec2_1, w, "unpool1")
+        dec1_2 = CBR3d(w, dt, name="dec1_2")(
+            jnp.concatenate([up1, enc1_2], axis=-1)
+        )
+        dec1_1 = CBR3d(w, dt, name="dec1_1")(dec1_2)
+
+        out = nn.Conv(
+            self.out_channels,
+            kernel_size=(1, 1, 1),
+            padding=0,
+            dtype=dt,
+            name="fc",
+        )(dec1_1)
+        return out.astype(jnp.float32)

@@ -1,0 +1,112 @@
+"""APIC transfer properties: partition of unity, mass/momentum
+conservation, rigid-motion round trip (SURVEY §4 plan)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from python_fluid_simulation_tpu.ops.transfers import g2p_axis, p2g_axis
+
+GRES = (8, 8, 8)
+BMIN = (0.0, 0.0, 0.0)
+H = (1.0 / 8, 1.0 / 8, 1.0 / 8)
+BIAS = ((0.0, 0.5, 0.5), (0.5, 0.0, 0.5), (0.5, 0.5, 0.0))
+
+
+def _face_shape(a):
+    return tuple(n + (1 if i == a else 0) for i, n in enumerate(GRES))
+
+
+def _rand_particles(n, seed=0, margin=0.2):
+    rng = np.random.default_rng(seed)
+    x = margin + (1 - 2 * margin) * rng.random((n, 3))
+    v = rng.standard_normal((n, 3))
+    m = rng.random(n) + 0.5
+    return (
+        jnp.asarray(x, jnp.float32),
+        jnp.asarray(v, jnp.float32),
+        jnp.asarray(m, jnp.float32),
+    )
+
+
+def test_p2g_mass_conservation():
+    x, v, m = _rand_particles(200)
+    c = jnp.zeros((200, 3))
+    for a in range(3):
+        gm, _ = p2g_axis(x, m, v, c, a, GRES, _face_shape(a), BIAS[a], BMIN, H)
+        np.testing.assert_allclose(
+            float(jnp.sum(gm)), float(jnp.sum(m)), rtol=1e-5
+        )
+
+
+def test_p2g_momentum_conservation():
+    x, v, m = _rand_particles(200, seed=1)
+    c = jnp.zeros((200, 3))
+    for a in range(3):
+        gm, gv = p2g_axis(x, m, v, c, a, GRES, _face_shape(a), BIAS[a], BMIN, H)
+        grid_mom = float(jnp.sum(gm * gv))
+        part_mom = float(jnp.sum(m * v[:, a]))
+        np.testing.assert_allclose(grid_mom, part_mom, rtol=1e-4)
+
+
+def test_p2g_apic_affine_momentum():
+    # with nonzero affine c, scattered momentum includes the affine term:
+    # sum_i w m (v + c.(gx - x)) — total still equals m v + m c.(x_cm-x)
+    x, v, m = _rand_particles(100, seed=2)
+    rng = np.random.default_rng(3)
+    c = jnp.asarray(rng.standard_normal((100, 3, 3)), jnp.float32)
+    for a in range(3):
+        gm, gv = p2g_axis(
+            x, m, v, c[:, a, :], a, GRES, _face_shape(a), BIAS[a], BMIN, H
+        )
+        grid_mom = float(jnp.sum(gm * gv))
+        # oracle: direct per-particle sum of w*m*(v+cv) over corners
+        xx, vv, mm, cc = map(np.asarray, (x, v, m, c[:, a, :]))
+        bias = np.array(BIAS[a])
+        h = np.array(H)
+        gi = np.floor((xx - np.array(BMIN)) / h - bias)
+        gx = (gi + bias) * h
+        disp = gx - xx
+        w = np.abs(disp) / h
+        total = 0.0
+        import itertools
+
+        for offs in itertools.product((0, 1), repeat=3):
+            weight = np.ones(len(xx))
+            for d, o in enumerate(offs):
+                weight *= w[:, d] if o == 1 else 1 - w[:, d]
+            cv = ((disp + np.array(offs) * h) * cc).sum(-1)
+            total += (weight * mm * (vv[:, a] + cv)).sum()
+        np.testing.assert_allclose(grid_mom, total, rtol=1e-4)
+
+
+def test_round_trip_constant_velocity():
+    # a constant velocity field survives p2g -> g2p exactly
+    # (partition of unity + affine term vanishing for c=0 scatter)
+    x, _, m = _rand_particles(300, seed=4)
+    v = jnp.tile(jnp.asarray([[0.3, -0.2, 0.1]], jnp.float32), (300, 1))
+    c = jnp.zeros((300, 3))
+    for a in range(3):
+        gm, gv = p2g_axis(x, m, v, c, a, GRES, _face_shape(a), BIAS[a], BMIN, H)
+        # fill faces that received no mass with the same constant so the
+        # gather (which reads all 8 corners) sees a complete field
+        gv = jnp.where(gm > 0, gv, v[0, a])
+        pv, pc = g2p_axis(x, gv, a, GRES, BIAS[a], BMIN, H)
+        np.testing.assert_allclose(np.asarray(pv), float(v[0, a]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(pc), 0.0, atol=1e-3)
+
+
+def test_g2p_gradient_of_linear_field():
+    # gv varying linearly along x => pc[:,0] = slope, pv = field value
+    x, _, _ = _rand_particles(100, seed=5)
+    a = 0
+    shape = _face_shape(a)
+    ix = jnp.arange(shape[0], dtype=jnp.float32).reshape(-1, 1, 1)
+    pos_x = (ix + BIAS[a][0]) * H[0]  # face x-positions
+    slope = 2.0
+    gv = jnp.broadcast_to(slope * pos_x, shape)
+    pv, pc = g2p_axis(x, gv, a, GRES, BIAS[a], BMIN, H)
+    np.testing.assert_allclose(
+        np.asarray(pv), slope * np.asarray(x)[:, 0], atol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(pc)[:, 0], slope, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(pc)[:, 1:], 0.0, atol=1e-4)
