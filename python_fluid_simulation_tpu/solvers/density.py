@@ -36,7 +36,10 @@ from python_fluid_simulation_tpu.ops.transfers import (
 from python_fluid_simulation_tpu.solvers.cg import SolveStats, cg
 from python_fluid_simulation_tpu.solvers.pressure import _ghost_frac
 
-_FACE_BIAS = {0: (0.0, 0.5, 0.5), 1: (0.5, 0.0, 0.5), 2: (0.5, 0.5, 0.0)}
+def _face_bias(a, d):
+    b = [0.5] * d
+    b[a] = 0.0
+    return tuple(b)
 
 
 def scatter_mass_volume(
@@ -88,15 +91,18 @@ def fix_volume(
     clamped by cell_vol * (non-solid face fraction).
     """
     shape = lphi.shape
-    cvol = cell_size[0] * cell_size[1] * cell_size[2]
+    d = len(shape)
+    cvol = 1.0
+    for c in cell_size:
+        cvol *= c
     dx = min(cell_size)
     near_solid = (
-        dual_sample(sphi, P3_CENTER, (0, 0, 0), shape, 1e9) < dx
+        dual_sample(sphi, (1,) * d, (0,) * d, shape, 1e9) < dx
     )
     fluid_internal = lphi < 0
-    for a in range(3):
+    for a in range(d):
         for side in (+1, -1):
-            off = [0, 0, 0]
+            off = [0] * d
             off[a] = side
             fluid_internal = fluid_internal & (shift(lphi, tuple(off), 1.0) < 0)
     fluid_vol = jnp.where(fluid_internal & ~near_solid, cvol, gvol)
@@ -106,14 +112,15 @@ def fix_volume(
 
 
 def _nonsolid_frac(w_faces, shape):
+    d = len(shape)
     acc = jnp.zeros(shape, dtype=w_faces[0].dtype)
-    for a in range(3):
+    for a in range(d):
         for side in (+1, -1):
-            off = [0, 0, 0]
+            off = [0] * d
             if side > 0:
                 off[a] = 1
             acc = acc + sample(w_faces[a], tuple(off), shape, 0.0)
-    return acc / 6.0
+    return acc / (2.0 * d)
 
 
 def density_rhs(
@@ -130,7 +137,9 @@ def density_rhs(
     Reference: initialize_solver_kernel (DensityCGSolver3D.py:86-115).
     """
     shape = lphi.shape
-    cvol = cell_size[0] * cell_size[1] * cell_size[2]
+    cvol = 1.0
+    for c in cell_size:
+        cvol *= c
     nsf = _nonsolid_frac(w_faces, shape)
     solid_vol = (1.0 - nsf) * cvol
     solid_mass = rho0 * solid_vol
@@ -156,17 +165,18 @@ def density_matvec(
     Reference: matvecmul_kernel (DensityCGSolver3D.py:117-194).
     """
     shape = lphi.shape
+    d = len(shape)
     val = jnp.zeros(shape, dtype=p.dtype)
     diag = jnp.zeros(shape, dtype=p.dtype)
-    for a in range(3):
+    for a in range(d):
         for side in (+1, -1):
-            off = [0, 0, 0]
+            off = [0] * d
             off[a] = side
             nphi = shift(lphi, tuple(off), 1.0)
-            woff = [0, 0, 0]
+            woff = [0] * d
             if side > 0:
                 woff[a] = 1
-            if wz_bug and a == 2 and side < 0:
+            if wz_bug and d == 3 and a == 2 and side < 0:
                 woff[a] = 1  # reference reads wz[x,y,z+1] for the -z face
             w = sample(w_faces[a], tuple(woff), shape, 0.0)
             nv = shift(p, tuple(off), 0.0)
@@ -181,10 +191,11 @@ def density_matvec(
 
 def density_diag(lphi: jnp.ndarray) -> jnp.ndarray:
     shape = lphi.shape
+    d = len(shape)
     diag = jnp.zeros(shape, dtype=lphi.dtype)
-    for a in range(3):
+    for a in range(d):
         for side in (+1, -1):
-            off = [0, 0, 0]
+            off = [0] * d
             off[a] = side
             nphi = shift(lphi, tuple(off), 1.0)
             frac = _ghost_frac(lphi, nphi)
@@ -207,19 +218,20 @@ def compute_displacement(
     the fluid mask.
     """
     gres = lphi.shape
+    d = len(gres)
     out = []
-    for a in range(3):
+    for a in range(d):
         fshape = face_shapes[a]
-        off_m = [0, 0, 0]
+        off_m = [0] * d
         off_m[a] = -1
-        phi_c = sample(lphi, (0, 0, 0), fshape, 1.0)
+        phi_c = sample(lphi, (0,) * d, fshape, 1.0)
         phi_m = sample(lphi, tuple(off_m), fshape, 1.0)
         theta = jnp.clip(edge_in_fraction(phi_c, phi_m), 0.01, 1.0)
-        p_c = sample(p, (0, 0, 0), fshape, 0.0)
+        p_c = sample(p, (0,) * d, fshape, 0.0)
         p_m = sample(p, tuple(off_m), fshape, 0.0)
-        d = (p_c - p_m) * dt * cell_size[a] / theta
+        disp = (p_c - p_m) * dt * cell_size[a] / theta
         active = interior_mask(fshape, active_hi=gres)
-        out.append(jnp.where(active, d, 0.0))
+        out.append(jnp.where(active, disp, 0.0))
     return tuple(out)
 
 
@@ -237,9 +249,9 @@ def apply_displacement(
     """
     d = px.shape[-1]
     new_px = px
-    for a in range(3):
+    for a in range(d):
         arr = disp_faces[a]
-        bias = _FACE_BIAS[a][:d]
+        bias = _face_bias(a, d)
         gi, _, w = _corner_setup(px, bound_min, cell_size, bias)
         hi = jnp.asarray(arr.shape, dtype=jnp.int32) - 1
         flat = arr.reshape(-1)
@@ -281,6 +293,7 @@ def density_solve_3d(
     Reference: DensityCGSolver3D.solve (:312-350) — initial guess x = 0.
     """
     gres = lphi.shape
+    d = len(gres)
     gm, gvol = scatter_mass_volume(px, pm, pvol, gres, bound_min, cell_size)
     gvol = fix_volume(gvol, sphi, lphi, w_faces, cell_size)
     b = density_rhs(rho0, dt, gm, gvol, lphi, w_faces, cell_size)
@@ -306,7 +319,102 @@ def density_solve_3d(
     )
     face_shapes = [
         tuple(n + (1 if i == a else 0) for i, n in enumerate(gres))
-        for a in range(3)
+        for a in range(d)
+    ]
+    disp = compute_displacement(x, lphi, dt, cell_size, face_shapes)
+    new_px = apply_displacement(px, disp, bound_min, cell_size)
+    return DensityResult(new_px, stats)
+
+
+# ---------------------------------------------------------------------------
+# 2D variant (reference: solver/DensityCGSolver2D.py). Differences from 3D:
+#   * the particle scatter adds mass ONLY — the pvol scatter is commented
+#     out in the reference (:33), so the cell volume comes entirely from
+#     fix_volume;
+#   * fix_volume derives the fluid volume from the 9-point weighted sum of
+#     the dual-lattice lvol field (:41-45), not from the scattered volume;
+#   * no -z weight bug, no convergence raise.
+# ---------------------------------------------------------------------------
+
+def fix_volume_2d(
+    lvol: jnp.ndarray,
+    sphi: jnp.ndarray,
+    lphi: jnp.ndarray,
+    w_faces: Sequence[jnp.ndarray],
+    cell_size: Sequence[float],
+    gvol0: jnp.ndarray,
+) -> jnp.ndarray:
+    """Reference: fix_volume_kernel (DensityCGSolver2D.py:36-57)."""
+    shape = lphi.shape
+    cvol = cell_size[0] * cell_size[1]
+    dx = min(cell_size)
+
+    def lv(i, j):
+        return dual_sample(lvol, (1, 1), (i, j), shape, 0.0)
+
+    fluid_vol = (
+        lv(0, 0)
+        + 0.5 * (lv(1, 0) + lv(-1, 0) + lv(0, 1) + lv(0, -1))
+        + 0.25 * (lv(1, 1) + lv(-1, 1) + lv(1, -1) + lv(-1, -1))
+    )
+    near_solid = dual_sample(sphi, (1, 1), (0, 0), shape, 1e9) < dx
+    fluid_internal = lphi < 0
+    for a in range(2):
+        for side in (+1, -1):
+            off = [0, 0]
+            off[a] = side
+            fluid_internal = fluid_internal & (
+                shift(lphi, tuple(off), 1.0) < 0
+            )
+    fluid_vol = jnp.where(fluid_internal & ~near_solid, cvol, fluid_vol)
+    nsf = _nonsolid_frac(w_faces, shape)
+    new = jnp.minimum(fluid_vol, cvol * nsf)
+    return jnp.where(interior_mask(shape), new, gvol0)
+
+
+def density_solve_2d(
+    rho0: float,
+    dt,
+    px: jnp.ndarray,
+    pm: jnp.ndarray,
+    pvol: float,
+    sphi: jnp.ndarray,
+    lphi: jnp.ndarray,
+    lvol: jnp.ndarray,
+    w_faces: Sequence[jnp.ndarray],
+    bound_min: Sequence[float],
+    cell_size: Sequence[float],
+    *,
+    tol: float = 1e-3,
+    rel_tol: float = 1e-6,
+    max_iter: int = 2000,
+    jacobi_precond: bool = True,
+) -> DensityResult:
+    """Reference: DensityCGSolver2D.solve (:262-295)."""
+    gres = lphi.shape
+    gm, _ = scatter_mass_volume(px, pm, 0.0, gres, bound_min, cell_size)
+    gvol = fix_volume_2d(
+        lvol, sphi, lphi, w_faces, cell_size, jnp.zeros_like(gm)
+    )
+    b = density_rhs(rho0, dt, gm, gvol, lphi, w_faces, cell_size)
+
+    def matvec(p):
+        return density_matvec(p, w_faces, lphi)
+
+    precond = None
+    if jacobi_precond:
+        diag = density_diag(lphi)
+
+        def precond(r):  # noqa: F811
+            return r / diag
+
+    x, stats = cg(
+        matvec, b, jnp.zeros_like(b), tol=tol, rel_tol=rel_tol,
+        max_iter=max_iter, precond=precond,
+    )
+    face_shapes = [
+        tuple(n + (1 if i == a else 0) for i, n in enumerate(gres))
+        for a in range(2)
     ]
     disp = compute_displacement(x, lphi, dt, cell_size, face_shapes)
     new_px = apply_displacement(px, disp, bound_min, cell_size)

@@ -1,7 +1,9 @@
-"""Variational cut-cell pressure projection (3D), matrix-free.
+"""Variational cut-cell pressure projection, matrix-free (2D & 3D).
 
-TPU-native replacement for ``solver/PressureCGSolver3D.py`` (3 CUDA kernels
-+ host CG loop).  The 7-point ghost-fluid matvec, RHS build and velocity
+TPU-native replacement for ``solver/PressureCGSolver3D.py`` and its 2D
+twin ``PressureCGSolver2D.py`` (3 CUDA kernels + host CG loop each) — all
+functions are dimension-generic (d inferred from lphi.ndim); the ``_3d``
+suffix is kept for call-site clarity with ``_2d`` aliases below.  The 7-point ghost-fluid matvec, RHS build and velocity
 update are pure XLA stencils (shifts + where); the CG loop is the shared
 on-device solver in ``cg.py``.  The dt-scaled variational assembly flag
 reproduces the *intent* of the abandoned ``PressureCGSolver3D_batty.py``
@@ -41,7 +43,7 @@ def _ghost_frac(phi, nphi):
 def _face_w_v(arrs, axis, side, cell_shape):
     """Face-array value seen from cells: side=+1 the high face (idx+1),
     side=-1 the low face (idx)."""
-    off = [0, 0, 0]
+    off = [0] * len(cell_shape)
     if side > 0:
         off[axis] = 1
     return sample(arrs, tuple(off), cell_shape, 0.0)
@@ -59,8 +61,9 @@ def pressure_rhs_3d(
     Reference: initialize_solver_kernel (PressureCGSolver3D.py:6-50).
     """
     shape = lphi.shape
+    d = len(shape)
     b = jnp.zeros(shape, dtype=v_faces[0].dtype)
-    for a in range(3):
+    for a in range(d):
         h = cell_size[a]
         for side in (+1, -1):
             w = _face_w_v(w_faces[a], a, side, shape)
@@ -69,9 +72,9 @@ def pressure_rhs_3d(
             b = b + sgn * w * v / h
             # solid-velocity flux where the face is partially solid (w<1):
             # sv sampled at the face site, e.g. sv[2x+2, 2y+1, 2z+1, 0]
-            off = [0, 0, 0]
+            off = [0] * d
             off[a] = side
-            svf = dual_sample(sv[..., a], P3_CENTER, tuple(off), shape, 0.0)
+            svf = dual_sample(sv[..., a], (1,) * d, tuple(off), shape, 0.0)
             b = b - jnp.where(w < 1, sgn * w * svf / h, 0.0)
     active = interior_mask(shape) & (lphi < 0)
     return jnp.where(active, b, 0.0)
@@ -91,12 +94,13 @@ def pressure_matvec_3d(
     (DensityCGSolver3D.py:117-194).
     """
     shape = lphi.shape
+    d = len(shape)
     phi = lphi
     val = jnp.zeros(shape, dtype=p.dtype)
     diag = jnp.zeros(shape, dtype=p.dtype)
-    for a in range(3):
+    for a in range(d):
         for side in (+1, -1):
-            off = [0, 0, 0]
+            off = [0] * d
             off[a] = side
             nphi = shift(lphi, tuple(off), 1.0)  # out of range: non-fluid
             w = _face_w_v(w_faces[a], a, side, shape)
@@ -118,10 +122,11 @@ def pressure_diag_3d(
 ) -> jnp.ndarray:
     """Operator diagonal (for Jacobi preconditioning); 1 outside the domain."""
     shape = lphi.shape
+    d = len(shape)
     diag = jnp.zeros(shape, dtype=lphi.dtype)
-    for a in range(3):
+    for a in range(d):
         for side in (+1, -1):
-            off = [0, 0, 0]
+            off = [0] * d
             off[a] = side
             nphi = shift(lphi, tuple(off), 1.0)
             w = _face_w_v(w_faces[a], a, side, shape)
@@ -147,19 +152,20 @@ def apply_pressure_3d(
     plane (index gres) is never updated, matching the kernel bounds (:135).
     """
     gres = lphi.shape
+    d = len(gres)
     out = []
-    for a in range(3):
+    for a in range(d):
         fshape = v_faces[a].shape
-        off_m = [0, 0, 0]
+        off_m = [0] * d
         off_m[a] = -1
-        phi_c = sample(lphi, (0, 0, 0), fshape, 1.0)
+        phi_c = sample(lphi, (0,) * d, fshape, 1.0)
         phi_m = sample(lphi, tuple(off_m), fshape, 1.0)
-        p_c = sample(p, (0, 0, 0), fshape, 0.0)
+        p_c = sample(p, (0,) * d, fshape, 0.0)
         p_m = sample(p, tuple(off_m), fshape, 0.0)
         theta = jnp.clip(edge_in_fraction(phi_c, phi_m), *_GHOST_CLIP)
         new_v = v_faces[a] + (p_c - p_m) * cell_size[a] / theta
         w = w_faces[a]
-        svf = dual_sample(sv[..., a], face_parity(a, 3), (0, 0, 0), fshape, 0.0)
+        svf = dual_sample(sv[..., a], face_parity(a, d), (0,) * d, fshape, 0.0)
         blended = w * new_v + (1.0 - w) * svf
         active = (
             interior_mask(fshape, active_hi=gres)
@@ -220,3 +226,13 @@ def pressure_solve_3d(
     )
     new_v = apply_pressure_3d(v_faces, x, w_faces, sv, lphi, cell_size)
     return PressureResult(new_v, x, stats)
+
+
+# Dimension-generic: 2D aliases (reference: PressureCGSolver2D.py — same
+# stencil structure with 5 points; kernel bounds and ghost-fluid clamp
+# are identical, :46-120)
+pressure_rhs_2d = pressure_rhs_3d
+pressure_matvec_2d = pressure_matvec_3d
+pressure_diag_2d = pressure_diag_3d
+apply_pressure_2d = apply_pressure_3d
+pressure_solve_2d = pressure_solve_3d

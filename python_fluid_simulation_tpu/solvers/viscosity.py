@@ -45,7 +45,7 @@ from python_fluid_simulation_tpu.ops.indexing import (
 from python_fluid_simulation_tpu.solvers.cg import SolveStats, cg
 
 
-def _terms_for_axis(a: int):
+def _terms_for_axis(a: int, d: int = 3):
     """(cond_dual_offset, field, v_face_offset, vol_dual_offset, factor, sign)
 
     sign/factor are the MATVEC convention: val += sign*factor*s*vol*v.
@@ -54,7 +54,7 @@ def _terms_for_axis(a: int):
     terms = []
 
     def e(k, n=1):
-        v = [0, 0, 0]
+        v = [0] * d
         v[k] = n
         return tuple(v)
 
@@ -65,13 +65,13 @@ def _terms_for_axis(a: int):
     for sgn in (+1, -1):
         add(e(a, 2 * sgn), a, e(a, sgn), e(a, sgn), 2.0, -1.0)
     # same-field, transverse directions
-    for t in range(3):
+    for t in range(d):
         if t == a:
             continue
         for sgn in (+1, -1):
             add(e(t, 2 * sgn), a, e(t, sgn), e(t, sgn), 1.0, -1.0)
     # cross-field couplings
-    for t in range(3):
+    for t in range(d):
         if t == a:
             continue
         ea, et = e(a), e(t)
@@ -86,7 +86,7 @@ def _terms_for_axis(a: int):
         add(plus(ea, et), t, et, et, 1.0, -1.0)
         add(plus(tuple(-x for x in ea), et), t, minus(et, ea), et, 1.0, +1.0)
         # lo side (-e_t volume)
-        add(minus(ea, et), t, (0, 0, 0), tuple(-x for x in et), 1.0, +1.0)
+        add(minus(ea, et), t, (0,) * d, tuple(-x for x in et), 1.0, +1.0)
         add(
             minus(tuple(-x for x in ea), et),
             t,
@@ -98,8 +98,15 @@ def _terms_for_axis(a: int):
     return terms
 
 
+def _is_fluid(sphi_vals, strict):
+    """3D convention: fluid = sphi >= 0 (ViscosityCGSolver3D.py:272);
+    2D convention: fluid = sphi > 0 (ViscosityCGSolver2D.py:129) —
+    SURVEY §2.1 sign-convention divergence, preserved faithfully."""
+    return sphi_vals > 0 if strict else sphi_vals >= 0
+
+
 def _axis_fields(a, sphi, vol, shape):
-    parity = face_parity(a, 3)
+    parity = face_parity(a, len(shape))
 
     def sph(off):
         return dual_sample(sphi, parity, off, shape, fill=-1.0)
@@ -111,13 +118,14 @@ def _axis_fields(a, sphi, vol, shape):
 
 
 def _diag_axis(a, s_mu, sphi, vol, shape):
+    d = len(shape)
     _, sph, vl = _axis_fields(a, sphi, vol, shape)
-    acc = vl((0, 0, 0))
+    acc = vl((0,) * d)
     extra = jnp.zeros(shape, dtype=vol.dtype)
-    for k in range(3):
+    for k in range(d):
         factor = 2.0 if k == a else 1.0
         for sgn in (+1, -1):
-            off = [0, 0, 0]
+            off = [0] * d
             off[k] = sgn
             extra = extra + factor * vl(tuple(off))
     return acc + s_mu * extra
@@ -128,25 +136,27 @@ def viscosity_matvec_3d(
     s_mu,
     sphi: jnp.ndarray,
     vol: jnp.ndarray,
+    strict_fluid: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
-    """One application of the coupled operator to (vx, vy, vz)."""
+    """One application of the coupled operator to (vx, vy[, vz])."""
+    d = len(v_faces)
     out = []
-    for a in range(3):
+    for a in range(d):
         shape = v_faces[a].shape
         _, sph, _ = _axis_fields(a, sphi, vol, shape)
         diag = _diag_axis(a, s_mu, sphi, vol, shape)
         val = diag * v_faces[a]
-        for cond_off, field, voff, vol_off, factor, sign in _terms_for_axis(a):
-            fluid_n = (
-                dual_sample(sphi, face_parity(a, 3), cond_off, shape, -1.0)
-                >= 0
+        for cond_off, field, voff, vol_off, factor, sign in _terms_for_axis(a, d):
+            fluid_n = _is_fluid(
+                dual_sample(sphi, face_parity(a, d), cond_off, shape, -1.0),
+                strict_fluid,
             )
             vv = sample(v_faces[field], voff, shape, 0.0)
-            vcoef = dual_sample(vol, face_parity(a, 3), vol_off, shape, 0.0)
+            vcoef = dual_sample(vol, face_parity(a, d), vol_off, shape, 0.0)
             val = val + jnp.where(
                 fluid_n, sign * factor * s_mu * vcoef * vv, 0.0
             )
-        active = interior_mask(shape) & (sph((0, 0, 0)) >= 0)
+        active = interior_mask(shape) & _is_fluid(sph((0,) * d), strict_fluid)
         out.append(jnp.where(active, val, 0.0))
     return tuple(out)
 
@@ -156,40 +166,43 @@ def viscosity_rhs_3d(
     s_mu,
     sphi: jnp.ndarray,
     vol: jnp.ndarray,
+    strict_fluid: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
     """b_a = vol_c·v_a + Σ solid-neighbour Dirichlet terms.
 
     Reference: initialize_solver_{x,y,z}_kernel (:41-246); the input
     velocities must already be extrapolated into the solid.
     """
+    d = len(v_faces)
     out = []
-    for a in range(3):
+    for a in range(d):
         shape = v_faces[a].shape
         _, sph, vl = _axis_fields(a, sphi, vol, shape)
-        b = vl((0, 0, 0)) * v_faces[a]
-        for cond_off, field, voff, vol_off, factor, sign in _terms_for_axis(a):
-            solid_n = (
-                dual_sample(sphi, face_parity(a, 3), cond_off, shape, -1.0)
-                < 0
+        b = vl((0,) * d) * v_faces[a]
+        for cond_off, field, voff, vol_off, factor, sign in _terms_for_axis(a, d):
+            solid_n = ~_is_fluid(
+                dual_sample(sphi, face_parity(a, d), cond_off, shape, -1.0),
+                strict_fluid,
             )
             vv = sample(v_faces[field], voff, shape, 0.0)
-            vcoef = dual_sample(vol, face_parity(a, 3), vol_off, shape, 0.0)
+            vcoef = dual_sample(vol, face_parity(a, d), vol_off, shape, 0.0)
             b = b + jnp.where(
                 solid_n, -sign * factor * s_mu * vcoef * vv, 0.0
             )
-        active = interior_mask(shape) & (sph((0, 0, 0)) >= 0)
+        active = interior_mask(shape) & _is_fluid(sph((0,) * d), strict_fluid)
         out.append(jnp.where(active, b, 0.0))
     return tuple(out)
 
 
-def viscosity_diag_3d(s_mu, sphi, vol, face_shapes):
+def viscosity_diag_3d(s_mu, sphi, vol, face_shapes, strict_fluid=False):
     """Operator diagonal for Jacobi preconditioning (1 where inactive)."""
+    d = len(face_shapes)
     out = []
-    for a in range(3):
+    for a in range(d):
         shape = face_shapes[a]
         _, sph, _ = _axis_fields(a, sphi, vol, shape)
         diag = _diag_axis(a, s_mu, sphi, vol, shape)
-        active = interior_mask(shape) & (sph((0, 0, 0)) >= 0)
+        active = interior_mask(shape) & _is_fluid(sph((0,) * d), strict_fluid)
         out.append(jnp.where(active & (diag > 0), diag, 1.0))
     return tuple(out)
 
@@ -213,6 +226,7 @@ def viscosity_solve_3d(
     max_iter: int = 2000,
     jacobi_precond: bool = True,
     extrap_iters: int = 3,
+    strict_fluid: bool = False,
 ) -> ViscosityResult:
     """Full implicit viscosity solve.
 
@@ -223,30 +237,39 @@ def viscosity_solve_3d(
     is written back only at non-solid faces (apply_viscosity_kernel
     :458-470).
     """
+    d = len(v_faces)
     scale = dt / cell_vol / rho
     s_mu = scale * mu
+    # control volumes normalised by cell_vol/8 in BOTH 2D and 3D — the 2D
+    # reference also divides by 0.125 (ViscosityCGSolver2D.py:278), not
+    # 0.25; preserved for parity.
     vol = lvol / (cell_vol * 0.125)
 
     ext = []
-    for a in range(3):
-        valid = parity_view(sphi, face_parity(a, 3)) >= 0
-        v_e, _ = extrapolate(v_faces[a], valid, extrap_iters)
+    for a in range(d):
+        if extrap_iters > 0:
+            valid = _is_fluid(
+                parity_view(sphi, face_parity(a, d)), strict_fluid
+            )
+            v_e, _ = extrapolate(v_faces[a], valid, extrap_iters)
+        else:
+            v_e = v_faces[a]
         ext.append(v_e)
     ext = tuple(ext)
 
-    b = viscosity_rhs_3d(ext, s_mu, sphi, vol)
+    b = viscosity_rhs_3d(ext, s_mu, sphi, vol, strict_fluid)
 
     def matvec(vs):
-        return viscosity_matvec_3d(vs, s_mu, sphi, vol)
+        return viscosity_matvec_3d(vs, s_mu, sphi, vol, strict_fluid)
 
     precond = None
     if jacobi_precond:
         diag = viscosity_diag_3d(
-            s_mu, sphi, vol, [v.shape for v in v_faces]
+            s_mu, sphi, vol, [v.shape for v in v_faces], strict_fluid
         )
 
         def precond(rs):  # noqa: F811
-            return tuple(r / d for r, d in zip(rs, diag))
+            return tuple(r / dd for r, dd in zip(rs, diag))
 
     x, stats = cg(
         matvec,
@@ -259,8 +282,10 @@ def viscosity_solve_3d(
     )
 
     out = []
-    for a in range(3):
-        nonsolid = parity_view(sphi, face_parity(a, 3)) >= 0
+    for a in range(d):
+        nonsolid = _is_fluid(
+            parity_view(sphi, face_parity(a, d)), strict_fluid
+        )
         active = (
             interior_mask(
                 v_faces[a].shape,
@@ -273,3 +298,22 @@ def viscosity_solve_3d(
         )
         out.append(jnp.where(active, x[a], v_faces[a]))
     return ViscosityResult(tuple(out), stats)
+
+
+# 2D aliases: same generic operators with the 2D reference's conventions —
+# solid = sphi <= 0 (strict fluid test), NO pre-extrapolation, tol 1e-4
+# default (ViscosityCGSolver2D.solve :275-318)
+viscosity_matvec_2d = viscosity_matvec_3d
+viscosity_rhs_2d = viscosity_rhs_3d
+viscosity_diag_2d = viscosity_diag_3d
+
+
+def viscosity_solve_2d(
+    dt, mu, rho, v_faces, sphi, lvol, cell_vol, *, tol=1e-4,
+    rel_tol=1e-6, max_iter=2000, jacobi_precond=True,
+):
+    return viscosity_solve_3d(
+        dt, mu, rho, v_faces, sphi, lvol, cell_vol, tol=tol,
+        rel_tol=rel_tol, max_iter=max_iter, jacobi_precond=jacobi_precond,
+        extrap_iters=0, strict_fluid=True,
+    )
