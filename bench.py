@@ -26,6 +26,17 @@ BASELINE_STEPS_PER_S = 0.61  # BASELINE.md end-to-end 1.64 s/step
 def main():
     import jax
 
+    # persistent compile cache: the step graph is large and the axon
+    # remote-compile path is slow; cache across bench invocations
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     from python_fluid_simulation_tpu.engine.scenes import (
         buckling_config,
         buckling_scene,
@@ -33,15 +44,22 @@ def main():
     from python_fluid_simulation_tpu.engine.step import simulate
 
     steps = int(os.environ.get("BENCH_STEPS", "20"))
-    warmup = int(os.environ.get("BENCH_WARMUP", "3"))
     dx = float(os.environ.get("BENCH_DX", "0.0125"))
 
     cfg = buckling_config(dx=dx, mu=1.0, viscosity_mode="apic")
+    mi = os.environ.get("BENCH_MAX_ITER")
+    if mi:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, solver=dataclasses.replace(cfg.solver, max_iter=int(mi))
+        )
     state = buckling_scene(cfg)
     n_particles = int(state.particles.x.shape[0])
 
-    # compile + warm up (first run includes remote-compile latency)
-    s_w, _ = simulate(state, cfg, warmup)
+    # warm up with the SAME scan length so the timed call hits the
+    # compile cache (scan length is a static shape parameter)
+    s_w, _ = simulate(state, cfg, steps)
     jax.block_until_ready(s_w)
 
     t0 = time.perf_counter()

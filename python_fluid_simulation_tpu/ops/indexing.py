@@ -15,34 +15,16 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 
 def shift(a: jnp.ndarray, offsets: Sequence[int], fill=0):
     """out[i] = a[i + offsets] with out-of-range reads replaced by `fill`.
 
-    Static offsets only — compiles to pad+slice (no gather).
+    Static offsets only — compiles to pad+static-slice (never gather).
     """
-    out = a
-    for axis, off in enumerate(offsets):
-        if off == 0:
-            continue
-        n = out.shape[axis]
-        pad = [(0, 0)] * out.ndim
-        if off > 0:
-            pad[axis] = (0, off)
-            out = jnp.pad(out, pad, constant_values=fill)
-            out = jnp.take(out, jnp.arange(off, off + n), axis=axis)
-        else:
-            pad[axis] = (-off, 0)
-            out = jnp.pad(out, pad, constant_values=fill)
-            out = jnp.take(out, jnp.arange(0, n), axis=axis)
-    return out
-
-
-def shift_slice(a: jnp.ndarray, offsets: Sequence[int], fill=0):
-    """Same as `shift` but via lax-friendly slicing (identical semantics)."""
-    return shift(a, offsets, fill)
+    return sample(a, offsets, a.shape[: len(offsets)], fill)
 
 
 def sample(a: jnp.ndarray, offsets: Sequence[int], target_shape: Sequence[int], fill=0):
@@ -50,10 +32,11 @@ def sample(a: jnp.ndarray, offsets: Sequence[int], target_shape: Sequence[int], 
 
     Generalises `shift` to differently-shaped source/target grids (e.g.
     sampling the (nx,ny+1,nz) y-face array from the (nx+1,ny,nz) x-face
-    grid).  Static offsets/shapes → pure pad+slice.
+    grid).  Static offsets/shapes → pure pad + lax.slice_in_dim.
     """
     out = a
     for axis, (off, t) in enumerate(zip(offsets, target_shape)):
+        off = int(off)
         s = out.shape[axis]
         front = max(0, -off)
         back = max(0, t + off - s)
@@ -62,7 +45,8 @@ def sample(a: jnp.ndarray, offsets: Sequence[int], target_shape: Sequence[int], 
             pad[axis] = (front, back)
             out = jnp.pad(out, pad, constant_values=fill)
         start = off + front
-        out = jnp.take(out, jnp.arange(start, start + t), axis=axis)
+        if start != 0 or start + t != out.shape[axis]:
+            out = jax.lax.slice_in_dim(out, start, start + t, axis=axis)
     return out
 
 

@@ -38,31 +38,44 @@ def compute_fluid_levelset(
     r = gdx * 0.5 * sqrt(d) * 1.02; scatter-min of |center - x_p| - r over
     the particle's 5^d-cell neighbourhood with border clamping (:270-288).
     """
+    from python_fluid_simulation_tpu.ops.scatter import (
+        fold_scattered,
+        segment_min_sorted,
+        sort_by_segment,
+    )
+
     d = px.shape[-1]
-    n = px.shape[0]
     r = gdx * 0.5 * math.sqrt(float(d)) * 1.02
     bmin = jnp.asarray(bound_min, dtype=px.dtype)
     h = jnp.asarray(cell_size, dtype=px.dtype)
     hi = jnp.asarray(res, dtype=jnp.int32) - 1
     gi = jnp.floor((px - bmin) / h).astype(jnp.int32)
+    # home cells of in-domain particles are already in range; the CORNER
+    # clamp happens in fold_clip below, matching cell 4 :281-284
+    gi = jnp.clip(gi, 0, hi)
 
-    idx_all, val_all = [], []
-    for offs in itertools.product(range(-2, 3), repeat=d):
-        oi = jnp.asarray(offs, dtype=jnp.int32)
-        gii = jnp.clip(gi + oi, 0, hi)
+    background = jnp.asarray(3.0 * gdx, px.dtype)
+    offsets = list(itertools.product(range(-2, 3), repeat=d))
+    # dist to the UNCLAMPED target center is a pure particle function per
+    # offset; border-clamped duplicates take the min over the folded
+    # planes, exactly as repeated atomic.min into the clamped cell.
+    vals = []
+    for offs in offsets:
+        # reference computes the distance to the CLAMPED cell center
+        gii = jnp.clip(gi + jnp.asarray(offs, jnp.int32), 0, hi)
         center = (gii.astype(px.dtype) + 0.5) * h + bmin
-        dist = jnp.linalg.norm(center - px, axis=-1) - r
-        idx_all.append(_flat_index(gii, res))
-        val_all.append(dist)
-    idx = jnp.concatenate(idx_all)
-    val = jnp.concatenate(val_all)
+        vals.append(jnp.linalg.norm(center - px, axis=-1) - r)
+    vals = jnp.stack(vals, axis=-1)  # (N, 5^d)
 
+    idx = _flat_index(gi, res)
+    sorted_ids, sorted_vals = sort_by_segment(idx, vals)
     size = 1
     for s in res:
         size *= s
-    phi = jnp.full((size,), 3.0 * gdx, dtype=px.dtype)
-    phi = phi.at[idx].min(val)
-    return phi.reshape(tuple(res))
+    seg = segment_min_sorted(sorted_vals, sorted_ids, size, background)
+    seg = seg.reshape(*res, len(offsets))
+
+    return fold_scattered(seg, offsets, tuple(res), "min", background)
 
 
 def compute_fluid_volume(
@@ -78,27 +91,33 @@ def compute_fluid_volume(
     with border clamping, then per-node clamp to the fine cell volume
     (constrain_fluid_volume_kernel :528-533).
     """
+    from python_fluid_simulation_tpu.ops.scatter import (
+        fold_scattered,
+        home_ids_extended,
+        segment_sum_sorted,
+        sort_by_segment,
+    )
+
     d = px.shape[-1]
     gi, _, w = _corner_setup(
         px, bound_min, fine_cell_size, (0.0,) * d
     )
-    hi = jnp.asarray(dual_res, dtype=jnp.int32) - 1
 
-    idx_all, val_all = [], []
-    for offs in itertools.product((0, 1), repeat=d):
-        oi = jnp.asarray(offs, dtype=jnp.int32)
-        corner = jnp.clip(gi + oi, 0, hi)
-        weight = _corner_weight(w, offs)
-        idx_all.append(_flat_index(corner, dual_res))
-        val_all.append(weight * pvol)
-    idx = jnp.concatenate(idx_all)
-    val = jnp.concatenate(val_all)
-
+    corners = list(itertools.product((0, 1), repeat=d))
+    vals = jnp.stack(
+        [_corner_weight(w, offs) * pvol for offs in corners], axis=-1
+    )
+    ids, ext = home_ids_extended(gi, dual_res)
+    sorted_ids, sorted_vals = sort_by_segment(ids, vals)
     size = 1
-    for s in dual_res:
+    for s in ext:
         size *= s
-    vol = jnp.zeros((size,), dtype=px.dtype).at[idx].add(val)
+    seg = segment_sum_sorted(sorted_vals, sorted_ids, size)
+    seg = seg.reshape(*ext, len(corners))
+
+    shifts = [tuple(o - 1 for o in offs) for offs in corners]
+    vol = fold_scattered(seg, shifts, tuple(dual_res), "add", 0.0)
     fine_vol = 1.0
     for c in fine_cell_size:
         fine_vol *= c
-    return jnp.minimum(vol, fine_vol).reshape(tuple(dual_res))
+    return jnp.minimum(vol, fine_vol)

@@ -1,0 +1,198 @@
+"""TPU-native particle→grid scatter machinery.
+
+XLA lowers ``.at[].add/min`` with duplicate indices to a *sequential*
+scatter loop on TPU — the moral equivalent of running the reference's
+CUDA atomics one thread at a time.  This module replaces every scatter
+in the engine with an all-parallel pipeline:
+
+  1. ONE argsort of the per-particle home-cell ids (shared by all corner
+     offsets, all channels of one transfer),
+  2. segmented reduction over the sorted order —
+     * sum: parallel cumsum + segment-boundary gather (searchsorted),
+     * min: segmented associative_scan (value, id) with reset-combiner,
+  3. per-corner-offset *folded shifts* of the resulting grid arrays:
+     the reference clamps each corner index into [0, gres-1] per axis
+     (cell 2 :128), so home ids are binned on an extended (n+2)^d grid
+     covering gi ∈ [-1, n] and border planes fold into the edge cells.
+
+Everything is O(K log K) parallel work; sorts are the only super-linear
+part and one sort serves an entire transfer (16 channels for P2G, 125
+for the level set).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def sort_by_segment(ids: jnp.ndarray, *vals: jnp.ndarray):
+    """Sort (ids, vals...) by ids. vals may be (K,) or (K, C)."""
+    order = jnp.argsort(ids)
+    sorted_ids = ids[order]
+    return (sorted_ids,) + tuple(v[order] for v in vals)
+
+
+def segment_sum_sorted(
+    vals: jnp.ndarray, sorted_ids: jnp.ndarray, num_segments: int
+) -> jnp.ndarray:
+    """Per-segment sums of already-sorted values.
+
+    vals: (K,) or (K, C); returns (num_segments,) or (num_segments, C).
+    Parallel: cumsum + two vectorised binary searches.
+    """
+    c = jnp.cumsum(vals, axis=0)
+    seg = jnp.arange(num_segments, dtype=sorted_ids.dtype)
+    ends = jnp.searchsorted(sorted_ids, seg, side="right")
+    starts = jnp.searchsorted(sorted_ids, seg, side="left")
+    hi = jnp.take(c, jnp.maximum(ends - 1, 0), axis=0)
+    lo = jnp.take(c, jnp.maximum(starts - 1, 0), axis=0)
+    total = jnp.where(
+        _bcast(starts > 0, hi), hi - lo, hi
+    )
+    return jnp.where(_bcast(ends > starts, total), total, 0.0)
+
+
+def segment_min_sorted(
+    vals: jnp.ndarray,
+    sorted_ids: jnp.ndarray,
+    num_segments: int,
+    fill,
+) -> jnp.ndarray:
+    """Per-segment minima of already-sorted values via a segmented scan.
+
+    The combiner ((m1,s1),(m2,s2)) -> (s1==s2 ? min(m1,m2) : m2, s2) is
+    associative for sorted segment ids.
+    """
+
+    def combine(a, b):
+        m1, s1 = a
+        m2, s2 = b
+        take = _bcast(s1 == s2, m1)
+        return jnp.where(take, jnp.minimum(m1, m2), m2), s2
+
+    ids_b = sorted_ids
+    if vals.ndim > 1:
+        ids_b = jnp.broadcast_to(sorted_ids[:, None], vals.shape)
+    mins, _ = jax.lax.associative_scan(combine, (vals, ids_b), axis=0)
+    seg = jnp.arange(num_segments, dtype=sorted_ids.dtype)
+    ends = jnp.searchsorted(sorted_ids, seg, side="right")
+    starts = jnp.searchsorted(sorted_ids, seg, side="left")
+    out = jnp.take(mins, jnp.maximum(ends - 1, 0), axis=0)
+    return jnp.where(_bcast(ends > starts, out), out, fill)
+
+
+def _bcast(cond, like):
+    if like.ndim > cond.ndim:
+        cond = cond.reshape(cond.shape + (1,) * (like.ndim - cond.ndim))
+    return cond
+
+
+def home_ids_extended(gi: jnp.ndarray, gres: Sequence[int]) -> Tuple[jnp.ndarray, Tuple[int, ...]]:
+    """Linear ids of (possibly out-of-range) home cells on the extended
+    (n+2)^d grid covering gi ∈ [-1, n] per axis."""
+    d = gi.shape[-1]
+    ext = tuple(int(n) + 2 for n in gres)
+    hi = jnp.asarray([n + 1 for n in gres], dtype=gi.dtype)
+    g = jnp.clip(gi + 1, 0, hi)
+    idx = g[:, 0]
+    for k in range(1, d):
+        idx = idx * ext[k] + g[:, k]
+    return idx, ext
+
+
+def fold_scattered(
+    seg: jnp.ndarray,
+    shifts,
+    out_shape: Sequence[int],
+    combine: str = "add",
+    fill=0.0,
+) -> jnp.ndarray:
+    """Combine per-corner segment grids onto clipped targets in ONE fold.
+
+    seg: (G..., K) — K corner channels on a common source grid; channel k
+    contributes to target u = grid_index + shifts[k] (un-clipped), and the
+    final cell is t = clip(u, 0, out_n-1).  All channels accumulate on a
+    target-extended grid first (pure pad+slice), then a single `fold_clip`
+    resolves the border clamping — keeping the HLO graph ~K× smaller than
+    folding each corner separately.
+    """
+    d = len(out_shape)
+    min_s = [min(s[a] for s in shifts) for a in range(d)]
+    max_s = [max(s[a] for s in shifts) for a in range(d)]
+    T = tuple(
+        seg.shape[a] + max_s[a] - min_s[a] for a in range(d)
+    )
+    from python_fluid_simulation_tpu.ops.indexing import sample
+
+    acc = None
+    for k, s in enumerate(shifts):
+        off = tuple(min_s[a] - s[a] for a in range(d))
+        piece = sample(seg[..., k], off, T, fill)
+        if acc is None:
+            acc = piece
+        elif combine == "add":
+            acc = acc + piece
+        else:
+            acc = jnp.minimum(acc, piece)
+    return fold_clip(acc, tuple(min_s), out_shape, combine, fill)
+
+
+def fold_clip(
+    field: jnp.ndarray,
+    shifts: Sequence[int],
+    out_shape: Sequence[int],
+    combine: str = "add",
+    fill=0.0,
+) -> jnp.ndarray:
+    """Redistribute `field` onto targets t = clip(c + shift, 0, out_n-1)
+    per axis, reducing all clipped planes into the edge rows.
+
+    This reproduces the reference's per-corner border clamping
+    (``max(0, min(gres-1, gi + offs))``, cell 2 :128) as a dense slicing
+    operation.  Separable (the clip is per-axis independent), so axes
+    fold sequentially.  Targets no source plane reaches get `fill`.
+    Trailing dims of `field` beyond len(shifts) are channels.
+    """
+    out = field
+    for axis, (s, out_n) in enumerate(zip(shifts, out_shape)):
+        s = int(s)
+        n = out.shape[axis]
+
+        def take(a, b):
+            return jax.lax.slice_in_dim(out, a, b, axis=axis)
+
+        def reduce_planes(planes):
+            if combine == "add":
+                return jnp.sum(planes, axis=axis, keepdims=True)
+            return jnp.min(planes, axis=axis, keepdims=True)
+
+        def fill_plane(k, ref):
+            shape = list(ref.shape)
+            shape[axis] = k
+            return jnp.full(shape, fill, dtype=ref.dtype)
+
+        # source groups: [0, L) -> t=0;  [L, R) -> t=c+s;  [R, n) -> t=out_n-1
+        L = min(max(1 - s, 0), n)
+        R = min(max(out_n - 1 - s, 0), n)
+        R = max(R, L)
+        pieces = []
+        pieces.append(reduce_planes(take(0, L)) if L > 0 else fill_plane(1, out))
+        pre_gap = (L + s - 1) if L > 0 else (0 + s - 1)
+        pre_gap = max(0, min(out_n - 2, pre_gap))
+        if pre_gap:
+            pieces.append(fill_plane(pre_gap, out))
+        if R > L:
+            pieces.append(take(L, R))
+        post_gap = (out_n - 1) - ((R + s) if R > L else (1 + pre_gap))
+        post_gap = max(0, post_gap)
+        if post_gap:
+            pieces.append(fill_plane(post_gap, out))
+        pieces.append(
+            reduce_planes(take(R, n)) if R < n else fill_plane(1, out)
+        )
+        out = jnp.concatenate(pieces, axis=axis)
+        assert out.shape[axis] == out_n, (out.shape, axis, out_n, s)
+    return out

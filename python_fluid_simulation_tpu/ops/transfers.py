@@ -72,34 +72,50 @@ def p2g_axis(
     Reference: p2g_particle + p2g_grid (cell 2 :96-177).
     Returns (gm, gv) of `face_shape`; gv already divided by mass.
     """
+    from python_fluid_simulation_tpu.ops.scatter import (
+        fold_scattered,
+        home_ids_extended,
+        segment_sum_sorted,
+        sort_by_segment,
+    )
+
     d = px.shape[-1]
     gi, disp, w = _corner_setup(px, bound_min, cell_size, bias)
-    clamp_hi = jnp.asarray(gres, dtype=jnp.int32) - 1  # reference quirk
 
-    idx_list, m_list, mv_list = [], [], []
-    for offs in itertools.product((0, 1), repeat=d):
-        oi = jnp.asarray(offs, dtype=jnp.int32)
-        corner = jnp.clip(gi + oi, 0, clamp_hi)
+    # per-corner channels (weight*m, weight*m*(v+cv)) — 2^d corners x 2
+    corners = list(itertools.product((0, 1), repeat=d))
+    chans = []
+    for offs in corners:
         weight = _corner_weight(w, offs)
         # APIC affine term: cv = Σ_d (disp_d + offs_d h_d) c_a[:, d]
         off_h = jnp.asarray(
             [o * h for o, h in zip(offs, cell_size)], dtype=px.dtype
         )
         cv = jnp.sum((disp + off_h) * pc_a, axis=-1)
-        idx_list.append(_flat_index(corner, face_shape))
-        m_list.append(weight * pm)
-        mv_list.append(weight * pm * (pv[:, axis] + cv))
+        chans.append(weight * pm)
+        chans.append(weight * pm * (pv[:, axis] + cv))
+    vals = jnp.stack(chans, axis=-1)  # (N, 2^d * 2)
 
-    idx = jnp.concatenate(idx_list)
-    vals = jnp.stack(
-        [jnp.concatenate(m_list), jnp.concatenate(mv_list)], axis=-1
-    )
+    # ONE sort by home cell (extended grid covers gi in [-1, gres]) and
+    # one segmented sum for all channels; per-corner grids then fold onto
+    # the face array with the reference's border clamping to gres-1
+    ids, ext = home_ids_extended(gi, gres)
+    sorted_ids, sorted_vals = sort_by_segment(ids, vals)
     size = 1
-    for s in face_shape:
+    for s in ext:
         size *= s
-    acc = jnp.zeros((size, 2), dtype=px.dtype).at[idx].add(vals)
-    gm = acc[:, 0].reshape(face_shape)
-    gv_m = acc[:, 1].reshape(face_shape)
+    seg = segment_sum_sorted(sorted_vals, sorted_ids, size)
+    seg = seg.reshape(*ext, len(chans))
+
+    base_shape = tuple(gres)
+    shifts = [tuple(o - 1 for o in offs) for offs in corners]
+    gm = fold_scattered(seg[..., 0::2], shifts, base_shape, "add", 0.0)
+    gv_m = fold_scattered(seg[..., 1::2], shifts, base_shape, "add", 0.0)
+    # place onto the face array: the trailing face plane never receives
+    # mass (reference clamps corner indices to gres-1, cell 2 :128)
+    pad = [(0, face_shape[i] - base_shape[i]) for i in range(d)]
+    gm = jnp.pad(gm, pad)
+    gv_m = jnp.pad(gv_m, pad)
     gv = jnp.where(gm > 0, gv_m / jnp.where(gm > 0, gm, 1.0), 0.0)
     return gm, gv
 

@@ -54,27 +54,36 @@ def scatter_mass_volume(
 
     Reference: initialize_density_kernel (DensityCGSolver3D.py:8-36).
     """
+    from python_fluid_simulation_tpu.ops.scatter import (
+        fold_scattered,
+        home_ids_extended,
+        segment_sum_sorted,
+        sort_by_segment,
+    )
+
     d = px.shape[-1]
     gi, _, w = _corner_setup(px, bound_min, cell_size, (0.5,) * d)
-    hi = jnp.asarray(gres, dtype=jnp.int32) - 1
 
-    idx_all, val_all = [], []
-    for offs in itertools.product((0, 1), repeat=d):
-        oi = jnp.asarray(offs, dtype=jnp.int32)
-        corner = jnp.clip(gi + oi, 0, hi)
+    corners = list(itertools.product((0, 1), repeat=d))
+    chans = []
+    for offs in corners:
         weight = _corner_weight(w, offs)
-        idx_all.append(_flat_index(corner, gres))
-        val_all.append(jnp.stack([weight * pm, weight * pvol], axis=-1))
-    idx = jnp.concatenate(idx_all)
-    vals = jnp.concatenate(val_all)
+        chans.append(weight * pm)
+        chans.append(weight * pvol * jnp.ones_like(pm))
+    vals = jnp.stack(chans, axis=-1)
+
+    ids, ext = home_ids_extended(gi, gres)
+    sorted_ids, sorted_vals = sort_by_segment(ids, vals)
     size = 1
-    for s in gres:
+    for s in ext:
         size *= s
-    acc = jnp.zeros((size, 2), dtype=px.dtype).at[idx].add(vals)
-    return (
-        acc[:, 0].reshape(tuple(gres)),
-        acc[:, 1].reshape(tuple(gres)),
-    )
+    seg = segment_sum_sorted(sorted_vals, sorted_ids, size)
+    seg = seg.reshape(*ext, len(chans))
+
+    shifts = [tuple(o - 1 for o in offs) for offs in corners]
+    gm = fold_scattered(seg[..., 0::2], shifts, tuple(gres), "add", 0.0)
+    gvol = fold_scattered(seg[..., 1::2], shifts, tuple(gres), "add", 0.0)
+    return gm, gvol
 
 
 def fix_volume(
@@ -189,6 +198,45 @@ def density_matvec(
     return jnp.where(active, out, 0.0)
 
 
+def prepare_density_matvec(
+    w_faces: Sequence[jnp.ndarray],
+    lphi: jnp.ndarray,
+    wz_bug: bool = False,
+):
+    """Loop-invariant coefficient fields for the density matvec (see
+    pressure.prepare_pressure_matvec)."""
+    shape = lphi.shape
+    d = len(shape)
+    active = interior_mask(shape) & (lphi < 0)
+    diag = jnp.zeros(shape, dtype=lphi.dtype)
+    coefs = []
+    for a in range(d):
+        for side in (+1, -1):
+            off = [0] * d
+            off[a] = side
+            nphi = shift(lphi, tuple(off), 1.0)
+            woff = [0] * d
+            if side > 0:
+                woff[a] = 1
+            if wz_bug and d == 3 and a == 2 and side < 0:
+                woff[a] = 1
+            w = sample(w_faces[a], tuple(woff), shape, 0.0)
+            fluid_n = nphi < 0
+            frac = _ghost_frac(lphi, nphi)
+            diag = diag + jnp.where(fluid_n, 1.0, 1.0 / frac)
+            coefs.append((tuple(off), jnp.where(active & fluid_n, -w, 0.0)))
+    diag = jnp.where(active, diag, 0.0)
+
+    def matvec(p):
+        out = diag * p
+        for off, c in coefs:
+            out = out + c * shift(p, off, 0.0)
+        return out
+
+    precond_diag = jnp.where(active & (diag > 0), diag, 1.0)
+    return matvec, precond_diag
+
+
 def density_diag(lphi: jnp.ndarray) -> jnp.ndarray:
     shape = lphi.shape
     d = len(shape)
@@ -298,12 +346,10 @@ def density_solve_3d(
     gvol = fix_volume(gvol, sphi, lphi, w_faces, cell_size)
     b = density_rhs(rho0, dt, gm, gvol, lphi, w_faces, cell_size)
 
-    def matvec(p):
-        return density_matvec(p, w_faces, lphi, wz_bug=wz_bug)
+    matvec, diag = prepare_density_matvec(w_faces, lphi, wz_bug=wz_bug)
 
     precond = None
     if jacobi_precond:
-        diag = density_diag(lphi)
 
         def precond(r):  # noqa: F811
             return r / diag
@@ -398,12 +444,10 @@ def density_solve_2d(
     )
     b = density_rhs(rho0, dt, gm, gvol, lphi, w_faces, cell_size)
 
-    def matvec(p):
-        return density_matvec(p, w_faces, lphi)
+    matvec, diag = prepare_density_matvec(w_faces, lphi)
 
     precond = None
     if jacobi_precond:
-        diag = density_diag(lphi)
 
         def precond(r):  # noqa: F811
             return r / diag

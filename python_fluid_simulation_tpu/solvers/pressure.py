@@ -175,6 +175,47 @@ def apply_pressure_3d(
     return tuple(out)
 
 
+def prepare_pressure_matvec(
+    w_faces: Sequence[jnp.ndarray],
+    lphi: jnp.ndarray,
+    unit_diag_weight: bool = False,
+):
+    """Precompute the stencil coefficient fields once so the CG while_loop
+    body is pure shift/multiply-add (the geometry terms are loop
+    invariants; materialising them keeps the hot loop minimal).
+
+    Returns (matvec_fn, diag) with matvec_fn(p) == pressure_matvec_3d(p).
+    """
+    shape = lphi.shape
+    d = len(shape)
+    active = interior_mask(shape) & (lphi < 0)
+    diag = jnp.zeros(shape, dtype=lphi.dtype)
+    coefs = []
+    for a in range(d):
+        for side in (+1, -1):
+            off = [0] * d
+            off[a] = side
+            nphi = shift(lphi, tuple(off), 1.0)
+            w = _face_w_v(w_faces[a], a, side, shape)
+            fluid_n = nphi < 0
+            frac = _ghost_frac(lphi, nphi)
+            dw = jnp.ones_like(w) if unit_diag_weight else w
+            diag = diag + jnp.where(fluid_n, dw, dw / frac)
+            coefs.append(
+                (tuple(off), jnp.where(active & fluid_n, -w, 0.0))
+            )
+    diag = jnp.where(active, diag, 0.0)
+
+    def matvec(p):
+        out = diag * p
+        for off, c in coefs:
+            out = out + c * shift(p, off, 0.0)
+        return out
+
+    precond_diag = jnp.where(active & (diag > 0), diag, 1.0)
+    return matvec, precond_diag
+
+
 class PressureResult(NamedTuple):
     v_faces: Tuple[jnp.ndarray, ...]
     pressure: jnp.ndarray  # x = -p dt/(rho Vcell)
@@ -204,15 +245,17 @@ def pressure_solve_3d(
     b = pressure_rhs_3d(v_faces, sv, lphi, w_faces, cell_size)
     s = 1.0 if dt_scale is None else dt_scale
 
+    mv, diag = prepare_pressure_matvec(w_faces, lphi)
+
     def matvec(p):
-        return s * pressure_matvec_3d(p, w_faces, lphi)
+        return s * mv(p)
 
     precond = None
     if jacobi_precond:
-        diag = s * pressure_diag_3d(w_faces, lphi)
+        sdiag = s * diag
 
         def precond(r):  # noqa: F811
-            return r / diag
+            return r / sdiag
 
     x0 = jnp.zeros_like(b)
     x, stats = cg(

@@ -207,6 +207,59 @@ def viscosity_diag_3d(s_mu, sphi, vol, face_shapes, strict_fluid=False):
     return tuple(out)
 
 
+def prepare_viscosity_matvec(
+    s_mu,
+    sphi: jnp.ndarray,
+    vol: jnp.ndarray,
+    face_shapes,
+    strict_fluid: bool = False,
+):
+    """Materialise the 14-term coefficient fields per axis once, so each
+    CG iteration is 42 shift/multiply-adds on face arrays (the geometry
+    samples of the big (2N+1)^d dual lattice are loop invariants).
+
+    Returns (matvec_fn, diag_tuple); matvec_fn matches
+    viscosity_matvec_3d.
+    """
+    d = len(face_shapes)
+    per_axis = []
+    diags = []
+    pdiags = []
+    for a in range(d):
+        shape = face_shapes[a]
+        _, sph, _ = _axis_fields(a, sphi, vol, shape)
+        active = interior_mask(shape) & _is_fluid(
+            sph((0,) * d), strict_fluid
+        )
+        diag_raw = _diag_axis(a, s_mu, sphi, vol, shape)
+        diag = jnp.where(active, diag_raw, 0.0)
+        terms = []
+        for cond_off, field, voff, vol_off, factor, sign in _terms_for_axis(a, d):
+            fluid_n = _is_fluid(
+                dual_sample(sphi, face_parity(a, d), cond_off, shape, -1.0),
+                strict_fluid,
+            )
+            vcoef = dual_sample(vol, face_parity(a, d), vol_off, shape, 0.0)
+            coef = jnp.where(
+                active & fluid_n, sign * factor * s_mu * vcoef, 0.0
+            )
+            terms.append((field, voff, coef))
+        per_axis.append(terms)
+        diags.append(diag)
+        pdiags.append(jnp.where(active & (diag_raw > 0), diag_raw, 1.0))
+
+    def matvec(vs):
+        out = []
+        for a in range(d):
+            acc = diags[a] * vs[a]
+            for field, voff, coef in per_axis[a]:
+                acc = acc + coef * sample(vs[field], voff, vs[a].shape, 0.0)
+            out.append(acc)
+        return tuple(out)
+
+    return matvec, tuple(pdiags)
+
+
 class ViscosityResult(NamedTuple):
     v_faces: Tuple[jnp.ndarray, ...]
     stats: SolveStats
@@ -259,14 +312,12 @@ def viscosity_solve_3d(
 
     b = viscosity_rhs_3d(ext, s_mu, sphi, vol, strict_fluid)
 
-    def matvec(vs):
-        return viscosity_matvec_3d(vs, s_mu, sphi, vol, strict_fluid)
+    matvec, diag = prepare_viscosity_matvec(
+        s_mu, sphi, vol, [v.shape for v in v_faces], strict_fluid
+    )
 
     precond = None
     if jacobi_precond:
-        diag = viscosity_diag_3d(
-            s_mu, sphi, vol, [v.shape for v in v_faces], strict_fluid
-        )
 
         def precond(rs):  # noqa: F811
             return tuple(r / dd for r, dd in zip(rs, diag))
