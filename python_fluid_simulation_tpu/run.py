@@ -1,0 +1,186 @@
+"""CLI simulation runner.
+
+The reference has no CLI (a notebook is the only driver, SURVEY §0);
+this is the production entry point:
+
+  python -m python_fluid_simulation_tpu.run --scene buckling --duration 0.1 \
+      --out out/ --metrics --snapshot-pickle --checkpoint-every 100
+
+Runs blocks of steps under lax.scan, logging per-step metrics (JSONL),
+snapshotting the particle series in the reference's pickle layout, and
+checkpointing the full state for resume.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description="TPU fluid engine runner")
+    p.add_argument("--scene", default="buckling",
+                   choices=["buckling", "dam_break", "dam_break_2d"])
+    p.add_argument("--dx", type=float, default=None)
+    p.add_argument("--mu", type=float, default=None)
+    p.add_argument("--duration", type=float, default=None)
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--block", type=int, default=15,
+                   help="steps per scan block (= snapshot interval)")
+    p.add_argument("--viscosity-mode", default=None,
+                   choices=["apic", "unet", "unet_warm"])
+    p.add_argument("--ckpt", default=None, help="torch/orbax UNet weights")
+    p.add_argument("--out", default="out")
+    p.add_argument("--metrics", action="store_true")
+    p.add_argument("--snapshot-pickle", action="store_true")
+    p.add_argument("--export-obj", action="store_true",
+                   help="export the final fluid surface as OBJ")
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--resume", default=None)
+    p.add_argument("--profile-dir", default=None)
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    os.makedirs(args.out, exist_ok=True)
+
+    import jax
+    import numpy as np
+
+    from python_fluid_simulation_tpu.engine import scenes
+    from python_fluid_simulation_tpu.engine.step import simulate
+    from python_fluid_simulation_tpu.utils.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from python_fluid_simulation_tpu.utils.io import (
+        ParticleSeries,
+        export_levelset_obj,
+    )
+    from python_fluid_simulation_tpu.utils.metrics import MetricsLogger
+    from python_fluid_simulation_tpu.utils.timers import profiler_trace
+
+    if args.scene == "dam_break_2d":
+        from python_fluid_simulation_tpu.engine.step2d import (
+            dam_break_scene_2d,
+            simulate_2d,
+        )
+
+        cfg, state = dam_break_scene_2d()
+        sim = simulate_2d
+    else:
+        if args.scene == "buckling":
+            cfg = scenes.buckling_config(
+                dx=args.dx or 0.0125, mu=(args.mu if args.mu is not None else 1.0)
+            )
+            if args.viscosity_mode:
+                cfg = dataclasses.replace(
+                    cfg,
+                    solver=dataclasses.replace(
+                        cfg.solver, viscosity_mode=args.viscosity_mode
+                    ),
+                )
+            state = scenes.buckling_scene(cfg)
+        else:
+            state = scenes.dam_break_scene()
+            cfg = None  # default config baked into the scene helper
+            from python_fluid_simulation_tpu.config import SimConfig
+
+            cfg = SimConfig()
+            state = scenes.dam_break_scene(cfg)
+        sim = simulate
+    if args.resume:
+        state, cfg, start = restore_checkpoint(args.resume)
+        print(f"resumed from step {start}")
+    if args.duration is not None and cfg is not None:
+        cfg = dataclasses.replace(cfg, duration=args.duration)
+
+    unet_apply = unet_params = None
+    if cfg is not None and cfg.solver.viscosity_mode in ("unet", "unet_warm"):
+        from python_fluid_simulation_tpu.models.unet3d import UNet3D
+
+        model = UNet3D()
+        if args.ckpt:
+            from python_fluid_simulation_tpu.models.convert import (
+                load_torch_checkpoint,
+            )
+
+            unet_params = load_torch_checkpoint(args.ckpt)
+        else:
+            import jax.numpy as jnp
+
+            dual = cfg.grid.dual_res
+            from python_fluid_simulation_tpu.models.features import padded_box
+
+            data, _ = padded_box(dual)
+            unet_params = model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, *data, 11))
+            )
+            print("WARNING: no --ckpt given; using random UNet weights")
+        unet_apply = model.apply
+
+    logger = MetricsLogger(
+        os.path.join(args.out, "metrics.jsonl") if args.metrics else None
+    )
+    series = ParticleSeries()
+    series.snapshot(0.0, np.asarray(state.particles.x))
+
+    duration = cfg.duration if cfg is not None else 3.0
+    dt_nominal = cfg.physics.dt if cfg is not None else 1 / 300.0
+    max_steps = args.max_steps or int(duration / dt_nominal * 2)
+
+    step_count = 0
+    t_start = time.perf_counter()
+    with profiler_trace(args.profile_dir):
+        while step_count < max_steps and float(state.t) < duration:
+            n = min(args.block, max_steps - step_count)
+            if sim is simulate:
+                state, metrics = sim(state, cfg, n, unet_apply, unet_params)
+            else:
+                state, metrics = sim(state, cfg, n)
+            jax.block_until_ready(state)
+            logger.log_scan(
+                jax.tree.map(np.asarray, metrics), start_step=step_count
+            )
+            step_count += n
+            series.snapshot(float(state.t), np.asarray(state.particles.x))
+            if args.checkpoint_every and step_count % args.checkpoint_every == 0:
+                save_checkpoint(
+                    os.path.join(args.out, "ckpt"), state, cfg, step_count
+                )
+            rate = step_count / (time.perf_counter() - t_start)
+            print(
+                f"t={float(state.t):.4f}s steps={step_count} "
+                f"({rate:.2f} steps/s)",
+                flush=True,
+            )
+
+    if args.snapshot_pickle:
+        series.save(os.path.join(args.out, "ps.pickle"))
+    if args.export_obj and cfg is not None:
+        from python_fluid_simulation_tpu.ops.levelset import (
+            compute_fluid_levelset,
+        )
+
+        g = cfg.grid
+        lphi = compute_fluid_levelset(
+            state.particles.x, g.res, g.bound_min, g.cell_size, g.dx
+        )
+        export_levelset_obj(
+            np.asarray(lphi),
+            os.path.join(args.out, "surface.obj"),
+            origin=tuple(m + 0.5 * c for m, c in zip(g.bound_min, g.cell_size)),
+            spacing=g.cell_size,
+        )
+    if args.checkpoint_every:
+        save_checkpoint(os.path.join(args.out, "ckpt"), state, cfg, step_count)
+    print(f"done: {step_count} steps, t={float(state.t):.4f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,116 @@
+"""Aux subsystems: metrics, checkpointing, particle series, surface export."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from python_fluid_simulation_tpu.config import SimConfig
+from python_fluid_simulation_tpu.state import Particles, SimState, SolidState
+from python_fluid_simulation_tpu.utils.checkpoint import (
+    restore_checkpoint,
+    save_checkpoint,
+)
+from python_fluid_simulation_tpu.utils.io import (
+    ParticleSeries,
+    export_levelset_obj,
+    snapshot_interval,
+)
+from python_fluid_simulation_tpu.utils.metrics import MetricsLogger, summarize
+
+
+def _dummy_state(n=10):
+    return SimState(
+        particles=Particles(
+            x=jnp.ones((n, 3)), v=jnp.zeros((n, 3)),
+            c=jnp.zeros((n, 3, 3)), m=jnp.ones(n),
+        ),
+        solid=SolidState(
+            phi=jnp.ones((5, 5, 5)), v=jnp.zeros((5, 5, 5, 3)),
+            rb=jnp.zeros((1, 10, 4)),
+        ),
+        t=jnp.float32(1.5),
+        step_idx=jnp.int32(7),
+    )
+
+
+def test_metrics_jsonl(tmp_path):
+    path = str(tmp_path / "m.jsonl")
+    log = MetricsLogger(path)
+    log.log(0, {"dt": jnp.float32(0.01), "iters": jnp.int32(5)})
+    log.log(1, {"dt": jnp.float32(0.02), "iters": jnp.int32(7)})
+    log.close()
+    import json
+
+    recs = [json.loads(l) for l in open(path)]
+    assert recs[0]["dt"] == pytest.approx(0.01)
+    assert recs[1]["iters"] == 7
+    s = summarize(log.history)
+    assert s["iters"] == 6.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = _dummy_state()
+    cfg = SimConfig()
+    save_checkpoint(str(tmp_path / "ck"), state, cfg, 7)
+    restored, cfg2, step = restore_checkpoint(str(tmp_path / "ck"))
+    assert step == 7
+    assert cfg2.grid.dx == cfg.grid.dx
+    np.testing.assert_array_equal(
+        np.asarray(restored.particles.x), np.asarray(state.particles.x)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(restored.solid.phi), np.asarray(state.solid.phi)
+    )
+
+
+def test_particle_series_matches_reference_layout(tmp_path):
+    s = ParticleSeries()
+    pos = np.arange(12, dtype=np.float32).reshape(4, 3)
+    s.snapshot(0.5, pos)
+    p = str(tmp_path / "ps.pickle")
+    s.save(p)
+    loaded = ParticleSeries.load(p)
+    got = loaded.series[0.5]
+    # reference stores [x, z, y] (cell 13 :4666)
+    np.testing.assert_array_equal(got, pos[:, [0, 2, 1]])
+    assert snapshot_interval(1 / 300.0) == 15  # int(1/DT/20), cell 13
+
+
+def _sphere_phi(n=24, r=0.3):
+    ax = np.linspace(-0.5, 0.5, n, dtype=np.float32)
+    x, y, z = np.meshgrid(ax, ax, ax, indexing="ij")
+    return np.sqrt(x**2 + y**2 + z**2) - r
+
+
+def test_export_obj_native_or_fallback(tmp_path):
+    phi = _sphere_phi()
+    path = str(tmp_path / "s.obj")
+    ntris = export_levelset_obj(phi, path, spacing=(1 / 23,) * 3)
+    assert ntris > 100
+    txt = open(path).read()
+    assert txt.count("\nf ") == ntris - (0 if txt.startswith("f") else 0)
+
+
+def test_native_marching_cubes_matches_sphere_area():
+    pytest.importorskip("ctypes")
+    try:
+        from python_fluid_simulation_tpu.native import marching_cubes as mc
+    except Exception:
+        pytest.skip("native toolchain unavailable")
+    n = 32
+    phi = _sphere_phi(n, 0.3)
+    verts, tris = mc.run(phi, 0.0)
+    assert len(tris) > 100
+    # triangle area sum approximates the sphere area (in voxel units)
+    v = verts[tris]
+    a = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
+    area = 0.5 * np.linalg.norm(a, axis=1).sum()
+    h = 1.0 / (n - 1)
+    expected = 4 * np.pi * (0.3 / h) ** 2
+    assert abs(area - expected) / expected < 0.12
+    # vertices lie near the zero set
+    center = (n - 1) / 2
+    rad = np.linalg.norm(verts - center, axis=1) * h
+    assert np.abs(rad - 0.3).max() < 0.05
