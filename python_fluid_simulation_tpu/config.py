@@ -15,8 +15,10 @@ from typing import Tuple
 
 
 def _round_res(size, dx) -> Tuple[int, ...]:
-    # Match the reference: GRES = (BOUND_SIZE / GDX).astype(int64)  (cell 10)
-    return tuple(int(s / dx) for s in size)
+    # Reference: GRES = (BOUND_SIZE / GDX).astype(int64) (cell 10 :656) —
+    # with f32 device math 0.6/0.0125 lands exactly on 48; Python f64
+    # gives 47.99999... so round to the nearest integer.
+    return tuple(int(round(s / dx)) for s in size)
 
 
 @dataclasses.dataclass(frozen=True)

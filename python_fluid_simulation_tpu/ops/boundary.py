@@ -23,6 +23,7 @@ from python_fluid_simulation_tpu.ops.indexing import (
     face_parity,
     interior_mask,
     sample,
+    split_parity,
 )
 
 
@@ -43,7 +44,8 @@ def boundary_dv_axis(
         return dual_sample(sphi, parity, off, shape, fill=1e9)
 
     def svc(comp):
-        return dual_sample(sv[..., comp], parity, (0,) * d, shape, fill=0.0)
+        src = sv[comp] if isinstance(sv, (list, tuple)) else sv[..., comp]
+        return dual_sample(src, parity, (0,) * d, shape, fill=0.0)
 
     ndist = sph((0,) * d) / dx
 
@@ -96,8 +98,11 @@ def apply_boundary_condition(
     dx: float,
 ) -> Tuple[jnp.ndarray, ...]:
     """Returns the corrected face velocities (g.v += g.dv, cell 5 :436-441)."""
+    d = len(gv)
+    sphi_c = split_parity(sphi, d)
+    sv_c = [split_parity(sv[..., comp], d) for comp in range(d)]
     out = []
-    for a in range(len(gv)):
-        dv = boundary_dv_axis(a, gv, gm, sphi, sv, dx)
+    for a in range(d):
+        dv = boundary_dv_axis(a, gv, gm, sphi_c, sv_c, dx)
         out.append(gv[a] + dv)
     return tuple(out)

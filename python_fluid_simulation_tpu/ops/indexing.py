@@ -50,8 +50,24 @@ def sample(a: jnp.ndarray, offsets: Sequence[int], target_shape: Sequence[int], 
     return out
 
 
+def split_parity(dual: jnp.ndarray, ndim: int | None = None):
+    """Pre-split a dual-lattice array into its 2^d parity classes.
+
+    Strided (::2) slices relayout data on TPU; doing the split ONCE per
+    field per solve and sampling the dense class arrays afterwards is
+    much cheaper than re-striding inside every stencil term.  The dict
+    is accepted anywhere `dual_sample` takes a raw dual array.
+    """
+    import itertools as _it
+
+    d = ndim or dual.ndim
+    return {
+        p: parity_view(dual, p) for p in _it.product((0, 1), repeat=d)
+    }
+
+
 def dual_sample(
-    dual: jnp.ndarray,
+    dual,
     base_parity: Sequence[int],
     offset: Sequence[int],
     target_shape: Sequence[int],
@@ -72,7 +88,8 @@ def dual_sample(
     q = [p + o for p, o in zip(base_parity, offset)]
     cls = tuple(c % 2 for c in q)
     k = tuple((c - c % 2) // 2 for c in q)
-    return sample(parity_view(dual, cls), k, target_shape, fill)
+    src = dual[cls] if isinstance(dual, dict) else parity_view(dual, cls)
+    return sample(src, k, target_shape, fill)
 
 
 def parity_view(dual: jnp.ndarray, parity: Sequence[int]) -> jnp.ndarray:

@@ -35,24 +35,49 @@ def sort_by_segment(ids: jnp.ndarray, *vals: jnp.ndarray):
     return (sorted_ids,) + tuple(v[order] for v in vals)
 
 
+def _segment_marks(sorted_ids):
+    neq = sorted_ids[1:] != sorted_ids[:-1]
+    first = jnp.concatenate([jnp.array([True]), neq])
+    last = jnp.concatenate([neq, jnp.array([True])])
+    return first, last
+
+
+def _place_at_last(values, sorted_ids, last, num_segments, fill):
+    """Write each segment's value (valid at its LAST element) into a dense
+    (num_segments, ...) array via a UNIQUE-index scatter: non-last
+    elements go to a scratch tail, so every index is distinct and XLA
+    emits a parallel scatter (duplicate-index scatter is sequential on
+    TPU)."""
+    k = sorted_ids.shape[0]
+    slots = jnp.where(
+        last, sorted_ids, num_segments + jnp.arange(k, dtype=sorted_ids.dtype)
+    )
+    buf_shape = (num_segments + k,) + values.shape[1:]
+    buf = jnp.full(buf_shape, fill, values.dtype)
+    buf = buf.at[slots].set(values, unique_indices=True)
+    return buf[:num_segments]
+
+
 def segment_sum_sorted(
     vals: jnp.ndarray, sorted_ids: jnp.ndarray, num_segments: int
 ) -> jnp.ndarray:
     """Per-segment sums of already-sorted values.
 
     vals: (K,) or (K, C); returns (num_segments,) or (num_segments, C).
-    Parallel: cumsum + two vectorised binary searches.
+    All-parallel: cumsum + segment-start backpointers (cummax) + one
+    unique-index scatter — no per-segment binary search (a dense
+    searchsorted over millions of segments dominated the profile).
     """
+    k = sorted_ids.shape[0]
+    first, last = _segment_marks(sorted_ids)
     c = jnp.cumsum(vals, axis=0)
-    seg = jnp.arange(num_segments, dtype=sorted_ids.dtype)
-    ends = jnp.searchsorted(sorted_ids, seg, side="right")
-    starts = jnp.searchsorted(sorted_ids, seg, side="left")
-    hi = jnp.take(c, jnp.maximum(ends - 1, 0), axis=0)
-    lo = jnp.take(c, jnp.maximum(starts - 1, 0), axis=0)
-    total = jnp.where(
-        _bcast(starts > 0, hi), hi - lo, hi
+    start_idx = jax.lax.cummax(
+        jnp.where(first, jnp.arange(k, dtype=jnp.int32), 0)
     )
-    return jnp.where(_bcast(ends > starts, total), total, 0.0)
+    base = jnp.take(c, jnp.maximum(start_idx - 1, 0), axis=0)
+    base = jnp.where(_bcast(start_idx > 0, base), base, 0.0)
+    totals = c - base
+    return _place_at_last(totals, sorted_ids, last, num_segments, 0.0)
 
 
 def segment_min_sorted(
@@ -77,11 +102,8 @@ def segment_min_sorted(
     if vals.ndim > 1:
         ids_b = jnp.broadcast_to(sorted_ids[:, None], vals.shape)
     mins, _ = jax.lax.associative_scan(combine, (vals, ids_b), axis=0)
-    seg = jnp.arange(num_segments, dtype=sorted_ids.dtype)
-    ends = jnp.searchsorted(sorted_ids, seg, side="right")
-    starts = jnp.searchsorted(sorted_ids, seg, side="left")
-    out = jnp.take(mins, jnp.maximum(ends - 1, 0), axis=0)
-    return jnp.where(_bcast(ends > starts, out), out, fill)
+    _, last = _segment_marks(sorted_ids)
+    return _place_at_last(mins, sorted_ids, last, num_segments, fill)
 
 
 def _bcast(cond, like):

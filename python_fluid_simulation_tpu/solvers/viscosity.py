@@ -41,6 +41,7 @@ from python_fluid_simulation_tpu.ops.indexing import (
     interior_mask,
     parity_view,
     sample,
+    split_parity,
 )
 from python_fluid_simulation_tpu.solvers.cg import SolveStats, cg
 
@@ -121,7 +122,7 @@ def _diag_axis(a, s_mu, sphi, vol, shape):
     d = len(shape)
     _, sph, vl = _axis_fields(a, sphi, vol, shape)
     acc = vl((0,) * d)
-    extra = jnp.zeros(shape, dtype=vol.dtype)
+    extra = jnp.zeros(shape, dtype=acc.dtype)
     for k in range(d):
         factor = 2.0 if k == a else 1.0
         for sgn in (+1, -1):
@@ -298,22 +299,25 @@ def viscosity_solve_3d(
     # 0.25; preserved for parity.
     vol = lvol / (cell_vol * 0.125)
 
+    # split the dual lattices into parity classes ONCE (strided slices
+    # relayout on TPU; the stencil terms below sample them ~100 times)
+    sphi_c = split_parity(sphi, d)
+    vol_c = split_parity(vol, d)
+
     ext = []
     for a in range(d):
         if extrap_iters > 0:
-            valid = _is_fluid(
-                parity_view(sphi, face_parity(a, d)), strict_fluid
-            )
+            valid = _is_fluid(sphi_c[face_parity(a, d)], strict_fluid)
             v_e, _ = extrapolate(v_faces[a], valid, extrap_iters)
         else:
             v_e = v_faces[a]
         ext.append(v_e)
     ext = tuple(ext)
 
-    b = viscosity_rhs_3d(ext, s_mu, sphi, vol, strict_fluid)
+    b = viscosity_rhs_3d(ext, s_mu, sphi_c, vol_c, strict_fluid)
 
     matvec, diag = prepare_viscosity_matvec(
-        s_mu, sphi, vol, [v.shape for v in v_faces], strict_fluid
+        s_mu, sphi_c, vol_c, [v.shape for v in v_faces], strict_fluid
     )
 
     precond = None
@@ -334,9 +338,7 @@ def viscosity_solve_3d(
 
     out = []
     for a in range(d):
-        nonsolid = _is_fluid(
-            parity_view(sphi, face_parity(a, d)), strict_fluid
-        )
+        nonsolid = _is_fluid(sphi_c[face_parity(a, d)], strict_fluid)
         active = (
             interior_mask(
                 v_faces[a].shape,
