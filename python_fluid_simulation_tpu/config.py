@@ -137,6 +137,9 @@ class SolverConfig:
     # dt-scaled variational pressure assembly (the intent of the reference's
     # broken PressureCGSolver3D_batty.py — same system scaled by dt/sqrt(dx)).
     pressure_dt_scaled: bool = False
+    # Pallas fused stencil kernels for the CG matvecs: 'auto' (TPU +
+    # fits VMEM), 'on', or 'off' (pure-XLA path)
+    pallas: str = "auto"
     # Reference-bug compatibility switches (SURVEY §7 tracked list). False =
     # fixed behaviour (documented divergence), True = mimic the reference.
     density_wz_bug: bool = False

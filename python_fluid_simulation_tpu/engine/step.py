@@ -100,6 +100,7 @@ def step_3d(
         max_iter=sol.max_iter,
         jacobi_precond=sol.jacobi_precond,
         wz_bug=sol.density_wz_bug,
+        use_pallas=sol.pallas,
     )
     px = dres.px
     lphi, lvol = _levelsets(px, cfg)
@@ -142,7 +143,7 @@ def step_3d(
             vres = viscosity_solve_3d(
                 dt, ph.mu, ph.rho, v_in, sphi, lvol, g.cell_vol,
                 tol=sol.tol, rel_tol=sol.rel_tol, max_iter=sol.max_iter,
-                jacobi_precond=sol.jacobi_precond,
+                jacobi_precond=sol.jacobi_precond, use_pallas=sol.pallas,
             )
             gv = list(vres.v_faces)
             visc_iters = vres.stats.iters
@@ -166,6 +167,7 @@ def step_3d(
         tol=sol.tol, rel_tol=sol.rel_tol, max_iter=sol.max_iter,
         jacobi_precond=sol.jacobi_precond,
         dt_scale=(dt if sol.pressure_dt_scaled else None),
+        use_pallas=sol.pallas,
     )
     gv = list(pres.v_faces)
 

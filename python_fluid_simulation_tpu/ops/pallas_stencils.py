@@ -1,0 +1,193 @@
+"""Pallas TPU kernels for the hot CG stencils.
+
+The XLA path builds each matvec from ~7-43 pad/slice/multiply ops; inside
+a while_loop those become several HBM round trips per iteration.  These
+kernels fuse one whole matvec into a single VMEM-resident pass:
+
+  * layout: (X, Y, Z) fields are viewed as (X, Y*Z) with the flattened
+    minor dim padded to a lane multiple (128).  A ±1 step in z is a lane
+    shift of 1, ±1 in y a shift of Z, ±1 in x a sublane shift — all
+    implemented as rolls.  Wrapped/padded reads land only where the
+    precomputed boundary-masked coefficients are zero, so they never
+    contribute (the solvers zero coefficients on the domain boundary).
+  * the whole field set must fit VMEM; `fits_vmem` gates usage and the
+    callers fall back to the XLA path otherwise (blocked/halo kernels are
+    the next step for 128^3+).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+_VMEM_BUDGET = 100 * 1024 * 1024  # leave headroom below ~128MB v5e VMEM
+
+
+def _pad_lanes(n: int) -> int:
+    return ((n + 127) // 128) * 128
+
+
+def fits_vmem(shape: Sequence[int], num_arrays: int) -> bool:
+    x = shape[0]
+    yz = _pad_lanes(shape[1] * shape[2])
+    return 4 * x * yz * num_arrays < _VMEM_BUDGET
+
+
+def _flatten(a3, yzp):
+    x, y, z = a3.shape
+    flat = a3.reshape(x, y * z)
+    if yzp != y * z:
+        flat = jnp.pad(flat, ((0, 0), (0, yzp - y * z)))
+    return flat
+
+
+def _roll_fwd(q, s, axis):
+    """q'[i] = q[i + s]; pltpu.roll requires non-negative shifts so
+    negative logical shifts wrap modulo the axis length (wrapped entries
+    only reach zero-coefficient boundary cells)."""
+    if s == 0:
+        return q
+    return pltpu.roll(q, (-s) % q.shape[axis], axis)
+
+
+def _stencil_kernel(shifts, n_terms, p_ref, diag_ref, *rest):
+    coef_refs = rest[:n_terms]
+    out_ref = rest[n_terms]
+    p = p_ref[:]
+    acc = diag_ref[:] * p
+    for (sr, sl), cref in zip(shifts, coef_refs):
+        q = _roll_fwd(_roll_fwd(p, sr, 0), sl, 1)
+        acc = acc + cref[:] * q
+    out_ref[:] = acc
+
+
+def make_stencil_matvec(
+    diag: jnp.ndarray,
+    coefs: Sequence[Tuple[Tuple[int, int, int], jnp.ndarray]],
+):
+    """Fused y(x) = diag*x + Σ coef_k * shift(x, off_k) on a 3D grid.
+
+    diag/coefs are the precomputed (boundary-masked) coefficient fields
+    from prepare_*_matvec.  Returns a callable p -> A p.
+    """
+    shape = diag.shape
+    x, y, z = shape
+    yz = y * z
+    yzp = _pad_lanes(yz)
+    shifts = []
+    for off, _ in coefs:
+        shifts.append((off[0], off[1] * z + off[2]))
+    diag_f = _flatten(diag, yzp)
+    coef_fs = [_flatten(c, yzp) for _, c in coefs]
+    n = len(coef_fs)
+
+    kernel = functools.partial(_stencil_kernel, tuple(shifts), n)
+
+    interpret = jax.default_backend() != "tpu"
+
+    def matvec(p):
+        p_f = _flatten(p, yzp)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((x, yzp), p.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + n),
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(p_f, diag_f, *coef_fs)
+        return out[:, :yz].reshape(shape)
+
+    return matvec
+
+
+def pallas_available(shape, num_arrays) -> bool:
+    if not _HAS_PALLAS:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    return fits_vmem(shape, num_arrays)
+
+
+def _coupled_kernel(n_fields, term_table, diag_slots, refs):
+    """refs: [v_0..v_{F-1}, diag_0..diag_{F-1}, coef_0.., out_0..out_{F-1}]"""
+    vs = [refs[i][:] for i in range(n_fields)]
+    diags = [refs[n_fields + i][:] for i in range(n_fields)]
+    n_coefs = sum(len(t) for t in term_table)
+    coef_refs = refs[2 * n_fields : 2 * n_fields + n_coefs]
+    out_refs = refs[2 * n_fields + n_coefs :]
+    k = 0
+    for a in range(n_fields):
+        acc = diags[a] * vs[a]
+        for field, (sr, sl) in term_table[a]:
+            q = _roll_fwd(_roll_fwd(vs[field], sr, 0), sl, 1)
+            acc = acc + coef_refs[k][:] * q
+            k += 1
+        out_refs[a][:] = acc
+
+
+def make_coupled_stencil_matvec(diags, per_axis_terms, field_shapes):
+    """Fused coupled-field matvec (the viscosity operator: 3 velocity
+    fields, 14 masked stencil terms each).
+
+    diags: list of F diagonal fields (each its own face shape);
+    per_axis_terms: list over output axes of [(field, off3, coef), ...].
+    All fields are zero-padded onto the common bounding shape; reads of
+    padding only occur where the boundary-masked coefficients are zero.
+    """
+    F = len(diags)
+    common = tuple(
+        max(s[i] for s in field_shapes) for i in range(3)
+    )
+    x, y, z = common
+    yzp = _pad_lanes(y * z)
+
+    def to_common(a):
+        pad = [(0, common[i] - a.shape[i]) for i in range(3)]
+        return _flatten(jnp.pad(a, pad), yzp)
+
+    diag_fs = [to_common(d) for d in diags]
+    coef_fs = []
+    table = []
+    for a in range(F):
+        entries = []
+        for field, off, coef in per_axis_terms[a]:
+            entries.append((field, (off[0], off[1] * z + off[2])))
+            coef_fs.append(to_common(coef))
+        table.append(tuple(entries))
+
+    def kernel(*refs):
+        _coupled_kernel(F, tuple(table), None, refs)
+
+    interpret = jax.default_backend() != "tpu"
+    n_in = 2 * F + len(coef_fs)
+
+    def matvec(v_fields):
+        v_fs = [to_common(v) for v in v_fields]
+        outs = pl.pallas_call(
+            kernel,
+            out_shape=[
+                jax.ShapeDtypeStruct((x, yzp), v_fields[0].dtype)
+                for _ in range(F)
+            ],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * F,
+            interpret=interpret,
+        )(*v_fs, *diag_fs, *coef_fs)
+        result = []
+        for a in range(F):
+            s = field_shapes[a]
+            o = outs[a][:, : y * z].reshape(common)
+            result.append(o[: s[0], : s[1], : s[2]])
+        return tuple(result)
+
+    return matvec

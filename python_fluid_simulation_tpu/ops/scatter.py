@@ -98,10 +98,9 @@ def segment_min_sorted(
         take = _bcast(s1 == s2, m1)
         return jnp.where(take, jnp.minimum(m1, m2), m2), s2
 
-    ids_b = sorted_ids
-    if vals.ndim > 1:
-        ids_b = jnp.broadcast_to(sorted_ids[:, None], vals.shape)
-    mins, _ = jax.lax.associative_scan(combine, (vals, ids_b), axis=0)
+    # ids stay (K,) in the scan carry; the combiner broadcasts the
+    # (K',1) segment-equality mask over the value channels
+    mins, _ = jax.lax.associative_scan(combine, (vals, sorted_ids), axis=0)
     _, last = _segment_marks(sorted_ids)
     return _place_at_last(mins, sorted_ids, last, num_segments, fill)
 

@@ -202,6 +202,7 @@ def prepare_density_matvec(
     w_faces: Sequence[jnp.ndarray],
     lphi: jnp.ndarray,
     wz_bug: bool = False,
+    use_pallas: str = "auto",
 ):
     """Loop-invariant coefficient fields for the density matvec (see
     pressure.prepare_pressure_matvec)."""
@@ -226,6 +227,16 @@ def prepare_density_matvec(
             diag = diag + jnp.where(fluid_n, 1.0, 1.0 / frac)
             coefs.append((tuple(off), jnp.where(active & fluid_n, -w, 0.0)))
     diag = jnp.where(active, diag, 0.0)
+    precond_diag = jnp.where(active & (diag > 0), diag, 1.0)
+
+    if d == 3 and use_pallas != "off":
+        from python_fluid_simulation_tpu.ops.pallas_stencils import (
+            make_stencil_matvec,
+            pallas_available,
+        )
+
+        if use_pallas == "on" or pallas_available(lphi.shape, 9):
+            return make_stencil_matvec(diag, coefs), precond_diag
 
     def matvec(p):
         out = diag * p
@@ -233,7 +244,6 @@ def prepare_density_matvec(
             out = out + c * shift(p, off, 0.0)
         return out
 
-    precond_diag = jnp.where(active & (diag > 0), diag, 1.0)
     return matvec, precond_diag
 
 
@@ -335,6 +345,7 @@ def density_solve_3d(
     max_iter: int = 2000,
     jacobi_precond: bool = True,
     wz_bug: bool = False,
+    use_pallas: str = "auto",
 ) -> DensityResult:
     """Full density projection; returns moved particle positions.
 
@@ -346,7 +357,9 @@ def density_solve_3d(
     gvol = fix_volume(gvol, sphi, lphi, w_faces, cell_size)
     b = density_rhs(rho0, dt, gm, gvol, lphi, w_faces, cell_size)
 
-    matvec, diag = prepare_density_matvec(w_faces, lphi, wz_bug=wz_bug)
+    matvec, diag = prepare_density_matvec(
+        w_faces, lphi, wz_bug=wz_bug, use_pallas=use_pallas
+    )
 
     precond = None
     if jacobi_precond:

@@ -179,6 +179,7 @@ def prepare_pressure_matvec(
     w_faces: Sequence[jnp.ndarray],
     lphi: jnp.ndarray,
     unit_diag_weight: bool = False,
+    use_pallas: str = "auto",
 ):
     """Precompute the stencil coefficient fields once so the CG while_loop
     body is pure shift/multiply-add (the geometry terms are loop
@@ -205,6 +206,16 @@ def prepare_pressure_matvec(
                 (tuple(off), jnp.where(active & fluid_n, -w, 0.0))
             )
     diag = jnp.where(active, diag, 0.0)
+    precond_diag = jnp.where(active & (diag > 0), diag, 1.0)
+
+    if d == 3 and use_pallas != "off":
+        from python_fluid_simulation_tpu.ops.pallas_stencils import (
+            make_stencil_matvec,
+            pallas_available,
+        )
+
+        if use_pallas == "on" or pallas_available(lphi.shape, 9):
+            return make_stencil_matvec(diag, coefs), precond_diag
 
     def matvec(p):
         out = diag * p
@@ -212,7 +223,6 @@ def prepare_pressure_matvec(
             out = out + c * shift(p, off, 0.0)
         return out
 
-    precond_diag = jnp.where(active & (diag > 0), diag, 1.0)
     return matvec, precond_diag
 
 
@@ -234,6 +244,7 @@ def pressure_solve_3d(
     max_iter: int = 2000,
     jacobi_precond: bool = True,
     dt_scale: float | None = None,
+    use_pallas: str = "auto",
 ) -> PressureResult:
     """Full projection: RHS → CG → apply.
 
@@ -245,7 +256,7 @@ def pressure_solve_3d(
     b = pressure_rhs_3d(v_faces, sv, lphi, w_faces, cell_size)
     s = 1.0 if dt_scale is None else dt_scale
 
-    mv, diag = prepare_pressure_matvec(w_faces, lphi)
+    mv, diag = prepare_pressure_matvec(w_faces, lphi, use_pallas=use_pallas)
 
     def matvec(p):
         return s * mv(p)

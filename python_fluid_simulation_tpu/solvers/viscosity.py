@@ -214,6 +214,7 @@ def prepare_viscosity_matvec(
     vol: jnp.ndarray,
     face_shapes,
     strict_fluid: bool = False,
+    use_pallas: str = "auto",
 ):
     """Materialise the 14-term coefficient fields per axis once, so each
     CG iteration is 42 shift/multiply-adds on face arrays (the geometry
@@ -249,6 +250,19 @@ def prepare_viscosity_matvec(
         diags.append(diag)
         pdiags.append(jnp.where(active & (diag_raw > 0), diag_raw, 1.0))
 
+    if d == 3 and use_pallas != "off":
+        from python_fluid_simulation_tpu.ops.pallas_stencils import (
+            make_coupled_stencil_matvec,
+            pallas_available,
+        )
+
+        common = tuple(max(s[i] for s in face_shapes) for i in range(3))
+        if use_pallas == "on" or pallas_available(common, 2 * d + 14 * d + d):
+            return (
+                make_coupled_stencil_matvec(diags, per_axis, face_shapes),
+                tuple(pdiags),
+            )
+
     def matvec(vs):
         out = []
         for a in range(d):
@@ -281,6 +295,7 @@ def viscosity_solve_3d(
     jacobi_precond: bool = True,
     extrap_iters: int = 3,
     strict_fluid: bool = False,
+    use_pallas: str = "auto",
 ) -> ViscosityResult:
     """Full implicit viscosity solve.
 
@@ -317,7 +332,8 @@ def viscosity_solve_3d(
     b = viscosity_rhs_3d(ext, s_mu, sphi_c, vol_c, strict_fluid)
 
     matvec, diag = prepare_viscosity_matvec(
-        s_mu, sphi_c, vol_c, [v.shape for v in v_faces], strict_fluid
+        s_mu, sphi_c, vol_c, [v.shape for v in v_faces], strict_fluid,
+        use_pallas=use_pallas,
     )
 
     precond = None

@@ -1,0 +1,63 @@
+"""Pallas fused stencil kernels vs the XLA reference path (interpret mode
+on CPU; the same code compiles with Mosaic on TPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from python_fluid_simulation_tpu.ops.fractions import compute_solid_frac_3d
+from python_fluid_simulation_tpu.ops.indexing import split_parity
+from python_fluid_simulation_tpu.solvers.pressure import (
+    prepare_pressure_matvec,
+)
+from python_fluid_simulation_tpu.solvers.viscosity import (
+    prepare_viscosity_matvec,
+)
+
+N = (8, 10, 12)
+DUAL = tuple(2 * k + 1 for k in N)
+
+
+def _geom(seed=0):
+    rng = np.random.default_rng(seed)
+    sphi = jnp.asarray(rng.standard_normal(DUAL).astype(np.float32))
+    lphi = jnp.asarray(rng.standard_normal(N).astype(np.float32))
+    return sphi, lphi, rng
+
+
+def test_pressure_pallas_matches_xla():
+    sphi, lphi, rng = _geom()
+    w = compute_solid_frac_3d(sphi)
+    mv_x, d_x = prepare_pressure_matvec(w, lphi, use_pallas="off")
+    mv_p, d_p = prepare_pressure_matvec(w, lphi, use_pallas="on")
+    p = jnp.asarray(rng.standard_normal(N).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(mv_p(p)), np.asarray(mv_x(p)), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_x))
+
+
+def test_viscosity_pallas_matches_xla():
+    sphi, lphi, rng = _geom(1)
+    vol = jnp.asarray(rng.random(DUAL).astype(np.float32))
+    shapes = [
+        tuple(n + (1 if i == a else 0) for i, n in enumerate(N))
+        for a in range(3)
+    ]
+    sphi_c = split_parity(sphi, 3)
+    vol_c = split_parity(vol, 3)
+    mv_x, _ = prepare_viscosity_matvec(
+        0.3, sphi_c, vol_c, shapes, use_pallas="off"
+    )
+    mv_p, _ = prepare_viscosity_matvec(
+        0.3, sphi_c, vol_c, shapes, use_pallas="on"
+    )
+    v = tuple(
+        jnp.asarray(rng.standard_normal(s).astype(np.float32))
+        for s in shapes
+    )
+    out_x = mv_x(v)
+    out_p = mv_p(v)
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out_p[a]), np.asarray(out_x[a]), rtol=1e-5, atol=1e-5
+        )
