@@ -118,6 +118,117 @@ def pallas_available(shape, num_arrays) -> bool:
     return fits_vmem(shape, num_arrays)
 
 
+def make_stencil_cg(
+    diag: jnp.ndarray,
+    coefs,
+    precond_diag: jnp.ndarray,
+    *,
+    tol: float,
+    rel_tol: float,
+    max_iter: int,
+):
+    """The ENTIRE Jacobi-PCG solve as ONE Pallas kernel.
+
+    All CG vectors (x, d, r, z, q) live in VMEM scratch across
+    iterations — zero HBM round trips inside the loop (the reference
+    crosses device→host twice per iteration, PressureCGSolver3D.py:
+    207-221; the XLA while_loop version still round-trips HBM).
+
+    Returns solve(b) -> (x, iters, residual, initial_residual).
+    """
+    shape = diag.shape
+    x, y, z = shape
+    yz = y * z
+    yzp = _pad_lanes(yz)
+    shifts = tuple((off[0], off[1] * z + off[2]) for off, _ in coefs)
+    n = len(coefs)
+    diag_f = _flatten(diag, yzp)
+    # padding of the preconditioner must be 1 (it divides the residual)
+    pd_f = _flatten(precond_diag - 1.0, yzp) + 1.0
+    coef_fs = [_flatten(c, yzp) for _, c in coefs]
+
+    def kernel(*refs):
+        b_ref, diag_ref, pd_ref = refs[0:3]
+        crefs = refs[3 : 3 + n]
+        x_ref, iters_ref, res_ref, res0_ref = refs[3 + n : 7 + n]
+        d_s, r_s, q_s = refs[7 + n :]
+
+        def matvec_into(src_ref, dst_ref):
+            p = src_ref[:]
+            acc = diag_ref[:] * p
+            for (sr, sl), cref in zip(shifts, crefs):
+                acc = acc + cref[:] * _roll_fwd(_roll_fwd(p, sr, 0), sl, 1)
+            dst_ref[:] = acc
+
+        # init: x = 0, r = b, z = r/pd, d = z
+        x_ref[:] = jnp.zeros_like(b_ref)
+        r_s[:] = b_ref[:]
+        d_s[:] = b_ref[:] / pd_ref[:]
+        delta0 = jnp.sum(r_s[:] * d_s[:])
+        res0 = jnp.sum(r_s[:] * r_s[:])
+        res0_ref[0, 0] = res0
+        thresh = jnp.maximum(
+            jnp.float32(tol) ** 2, jnp.float32(rel_tol) ** 2 * res0
+        )
+
+        def cond(carry):
+            k, delta, res = carry
+            return (res >= thresh) & (k < max_iter) & (delta != 0)
+
+        def body(carry):
+            k, delta, res = carry
+            matvec_into(d_s, q_s)
+            dq = jnp.sum(d_s[:] * q_s[:])
+            alpha = jnp.where(dq != 0, delta / dq, 0.0)
+            x_ref[:] = x_ref[:] + alpha * d_s[:]
+            r_s[:] = r_s[:] - alpha * q_s[:]
+            zv = r_s[:] / pd_ref[:]
+            new_delta = jnp.sum(r_s[:] * zv)
+            new_res = jnp.sum(r_s[:] * r_s[:])
+            beta = jnp.where(delta != 0, new_delta / delta, 0.0)
+            d_s[:] = zv + beta * d_s[:]
+            return k + 1, new_delta, new_res
+
+        k, _, res = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), delta0, res0)
+        )
+        iters_ref[0, 0] = k
+        res_ref[0, 0] = res
+
+    interpret = jax.default_backend() != "tpu"
+
+    def solve(b):
+        b_f = _flatten(b, yzp)
+        out_x, iters, res, res0 = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((x, yzp), b.dtype),
+                jax.ShapeDtypeStruct((1, 1), jnp.int32),
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 + n),
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((x, yzp), jnp.float32) for _ in range(3)
+            ],
+            interpret=interpret,
+        )(b_f, diag_f, pd_f, *coef_fs)
+        return (
+            out_x[:, :yz].reshape(shape),
+            iters[0, 0],
+            res[0, 0],
+            res0[0, 0],
+        )
+
+    return solve
+
+
 def _coupled_kernel(n_fields, term_table, diag_slots, refs):
     """refs: [v_0..v_{F-1}, diag_0..diag_{F-1}, coef_0.., out_0..out_{F-1}]"""
     vs = [refs[i][:] for i in range(n_fields)]

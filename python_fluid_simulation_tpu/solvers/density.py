@@ -198,14 +198,13 @@ def density_matvec(
     return jnp.where(active, out, 0.0)
 
 
-def prepare_density_matvec(
+def density_coefficients(
     w_faces: Sequence[jnp.ndarray],
     lphi: jnp.ndarray,
     wz_bug: bool = False,
-    use_pallas: str = "auto",
 ):
-    """Loop-invariant coefficient fields for the density matvec (see
-    pressure.prepare_pressure_matvec)."""
+    """Loop-invariant coefficient fields for the density matvec:
+    (diag, [(off, coef)], precond_diag)."""
     shape = lphi.shape
     d = len(shape)
     active = interior_mask(shape) & (lphi < 0)
@@ -228,6 +227,19 @@ def prepare_density_matvec(
             coefs.append((tuple(off), jnp.where(active & fluid_n, -w, 0.0)))
     diag = jnp.where(active, diag, 0.0)
     precond_diag = jnp.where(active & (diag > 0), diag, 1.0)
+    return diag, coefs, precond_diag
+
+
+def prepare_density_matvec(
+    w_faces: Sequence[jnp.ndarray],
+    lphi: jnp.ndarray,
+    wz_bug: bool = False,
+    use_pallas: str = "auto",
+):
+    """Loop-invariant coefficient fields for the density matvec (see
+    pressure.prepare_pressure_matvec)."""
+    d = lphi.ndim
+    diag, coefs, precond_diag = density_coefficients(w_faces, lphi, wz_bug)
 
     if d == 3 and use_pallas != "off":
         from python_fluid_simulation_tpu.ops.pallas_stencils import (
@@ -357,24 +369,15 @@ def density_solve_3d(
     gvol = fix_volume(gvol, sphi, lphi, w_faces, cell_size)
     b = density_rhs(rho0, dt, gm, gvol, lphi, w_faces, cell_size)
 
-    matvec, diag = prepare_density_matvec(
-        w_faces, lphi, wz_bug=wz_bug, use_pallas=use_pallas
+    from python_fluid_simulation_tpu.solvers.pressure import (
+        solve_cell_poisson,
     )
 
-    precond = None
-    if jacobi_precond:
-
-        def precond(r):  # noqa: F811
-            return r / diag
-
-    x, stats = cg(
-        matvec,
-        b,
-        jnp.zeros_like(b),
-        tol=tol,
-        rel_tol=rel_tol,
-        max_iter=max_iter,
-        precond=precond,
+    x, stats = solve_cell_poisson(
+        b, w_faces, lphi,
+        tol=tol, rel_tol=rel_tol, max_iter=max_iter,
+        jacobi_precond=jacobi_precond, use_pallas=use_pallas,
+        wz_bug_coefs=density_coefficients(w_faces, lphi, wz_bug),
     )
     face_shapes = [
         tuple(n + (1 if i == a else 0) for i, n in enumerate(gres))

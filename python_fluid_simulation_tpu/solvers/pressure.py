@@ -175,18 +175,14 @@ def apply_pressure_3d(
     return tuple(out)
 
 
-def prepare_pressure_matvec(
+def pressure_coefficients(
     w_faces: Sequence[jnp.ndarray],
     lphi: jnp.ndarray,
     unit_diag_weight: bool = False,
-    use_pallas: str = "auto",
 ):
-    """Precompute the stencil coefficient fields once so the CG while_loop
-    body is pure shift/multiply-add (the geometry terms are loop
-    invariants; materialising them keeps the hot loop minimal).
-
-    Returns (matvec_fn, diag) with matvec_fn(p) == pressure_matvec_3d(p).
-    """
+    """Loop-invariant stencil coefficient fields: (diag, [(off, coef)],
+    precond_diag).  The geometry terms are computed once; the CG loop body
+    is then pure shift/multiply-add."""
     shape = lphi.shape
     d = len(shape)
     active = interior_mask(shape) & (lphi < 0)
@@ -207,6 +203,20 @@ def prepare_pressure_matvec(
             )
     diag = jnp.where(active, diag, 0.0)
     precond_diag = jnp.where(active & (diag > 0), diag, 1.0)
+    return diag, coefs, precond_diag
+
+
+def prepare_pressure_matvec(
+    w_faces: Sequence[jnp.ndarray],
+    lphi: jnp.ndarray,
+    unit_diag_weight: bool = False,
+    use_pallas: str = "auto",
+):
+    """(matvec_fn, precond_diag) with matvec_fn == pressure_matvec_3d."""
+    d = lphi.ndim
+    diag, coefs, precond_diag = pressure_coefficients(
+        w_faces, lphi, unit_diag_weight
+    )
 
     if d == 3 and use_pallas != "off":
         from python_fluid_simulation_tpu.ops.pallas_stencils import (
@@ -254,32 +264,92 @@ def pressure_solve_3d(
     solution is identical after unscaling.
     """
     b = pressure_rhs_3d(v_faces, sv, lphi, w_faces, cell_size)
+    x, stats = solve_cell_poisson(
+        b, w_faces, lphi,
+        tol=tol, rel_tol=rel_tol, max_iter=max_iter,
+        jacobi_precond=jacobi_precond, dt_scale=dt_scale,
+        use_pallas=use_pallas,
+    )
+    new_v = apply_pressure_3d(v_faces, x, w_faces, sv, lphi, cell_size)
+    return PressureResult(new_v, x, stats)
+
+
+def solve_cell_poisson(
+    b: jnp.ndarray,
+    w_faces: Sequence[jnp.ndarray],
+    lphi: jnp.ndarray,
+    *,
+    tol: float,
+    rel_tol: float,
+    max_iter: int,
+    jacobi_precond: bool = True,
+    dt_scale: float | None = None,
+    unit_diag_weight: bool = False,
+    use_pallas: str = "auto",
+    wz_bug_coefs=None,
+):
+    """Shared CG driver for the cell-centred ghost-fluid systems
+    (pressure & density).  Uses the single-kernel Pallas PCG (the whole
+    solve as one fused kernel, vectors VMEM-resident) when available,
+    else the generic on-device while_loop CG."""
+    from python_fluid_simulation_tpu.solvers.cg import SolveStats
+
+    d = lphi.ndim
+    if wz_bug_coefs is not None:
+        diag, coefs, precond_diag = wz_bug_coefs
+    else:
+        diag, coefs, precond_diag = pressure_coefficients(
+            w_faces, lphi, unit_diag_weight
+        )
     s = 1.0 if dt_scale is None else dt_scale
 
-    mv, diag = prepare_pressure_matvec(w_faces, lphi, use_pallas=use_pallas)
+    if (
+        d == 3
+        and dt_scale is None
+        and jacobi_precond
+        and use_pallas != "off"
+    ):
+        from python_fluid_simulation_tpu.ops.pallas_stencils import (
+            make_stencil_cg,
+            pallas_available,
+        )
+
+        if use_pallas == "on" or pallas_available(lphi.shape, 14):
+            solve = make_stencil_cg(
+                diag, coefs, precond_diag,
+                tol=tol, rel_tol=rel_tol, max_iter=max_iter,
+            )
+            x, iters, res, res0 = solve(b)
+            thresh = jnp.maximum(
+                jnp.float32(tol) ** 2, jnp.float32(rel_tol) ** 2 * res0
+            )
+            return x, SolveStats(
+                iters=iters, residual=res, initial_residual=res0,
+                converged=res < thresh,
+            )
 
     def matvec(p):
-        return s * mv(p)
+        out = diag * p
+        for off, c in coefs:
+            out = out + c * shift(p, off, 0.0)
+        return s * out
 
     precond = None
     if jacobi_precond:
-        sdiag = s * diag
+        sdiag = s * precond_diag
 
         def precond(r):  # noqa: F811
             return r / sdiag
 
-    x0 = jnp.zeros_like(b)
-    x, stats = cg(
+    return cg(
         matvec,
         s * b,
-        x0,
+        jnp.zeros_like(b),
         tol=tol,
         rel_tol=rel_tol,
         max_iter=max_iter,
         precond=precond,
     )
-    new_v = apply_pressure_3d(v_faces, x, w_faces, sv, lphi, cell_size)
-    return PressureResult(new_v, x, stats)
 
 
 # Dimension-generic: 2D aliases (reference: PressureCGSolver2D.py — same

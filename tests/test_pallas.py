@@ -61,3 +61,39 @@ def test_viscosity_pallas_matches_xla():
         np.testing.assert_allclose(
             np.asarray(out_p[a]), np.asarray(out_x[a]), rtol=1e-5, atol=1e-5
         )
+
+
+def test_fused_cg_solver_matches_generic(
+):
+    """The single-kernel Pallas PCG vs the generic while_loop CG."""
+    from python_fluid_simulation_tpu.solvers.pressure import (
+        pressure_rhs_3d,
+        solve_cell_poisson,
+    )
+
+    sphi, lphi, rng = _geom(5)
+    lphi = jnp.asarray(
+        np.where(
+            np.random.default_rng(6).random(N) < 0.5, -1.0, 1.0
+        ).astype(np.float32)
+    )
+    w = compute_solid_frac_3d(sphi)
+    shapes = [
+        tuple(n + (1 if i == a else 0) for i, n in enumerate(N))
+        for a in range(3)
+    ]
+    v = tuple(
+        jnp.asarray(rng.standard_normal(s).astype(np.float32)) for s in shapes
+    )
+    sv = jnp.zeros(DUAL + (3,), jnp.float32)
+    b = pressure_rhs_3d(v, sv, lphi, w, (0.1, 0.1, 0.1))
+    x_ref, st_ref = solve_cell_poisson(
+        b, w, lphi, tol=1e-5, rel_tol=1e-5, max_iter=500, use_pallas="off"
+    )
+    x_pal, st_pal = solve_cell_poisson(
+        b, w, lphi, tol=1e-5, rel_tol=1e-5, max_iter=500, use_pallas="on"
+    )
+    np.testing.assert_allclose(
+        np.asarray(x_pal), np.asarray(x_ref), rtol=2e-3, atol=2e-4
+    )
+    assert abs(int(st_pal.iters) - int(st_ref.iters)) <= 2
