@@ -218,17 +218,22 @@ def make_step(cfg: SimConfig, unet_apply=None, unet_params=None):
     return _step
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _simulate_jit(state, unet_params, cfg, num_steps, unet_apply):
+    def body(s, _):
+        return step_3d(s, cfg, unet_apply, unet_params)
+
+    return jax.lax.scan(body, state, None, length=num_steps)
+
+
 def simulate(
     state: SimState, cfg: SimConfig, num_steps: int, unet_apply=None,
     unet_params=None,
 ):
-    """Roll `num_steps` under lax.scan; returns (final_state, metrics)."""
+    """Roll `num_steps` under lax.scan; returns (final_state, metrics).
 
-    @functools.partial(jax.jit, static_argnums=())
-    def _run(s0):
-        def body(s, _):
-            return step_3d(s, cfg, unet_apply, unet_params)
-
-        return jax.lax.scan(body, s0, None, length=num_steps)
-
-    return _run(state)
+    The jitted runner is module-level with (cfg, num_steps, unet_apply)
+    static, so repeated calls hit the jit cache (a per-call inner closure
+    would recompile the whole scan every time).
+    """
+    return _simulate_jit(state, unet_params, cfg, num_steps, unet_apply)

@@ -205,12 +205,16 @@ def make_step_2d(cfg: SimConfig2D):
     return _step
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _simulate_2d_jit(state, cfg, num_steps):
+    def body(s, _):
+        return step_2d(s, cfg)
+
+    return jax.lax.scan(body, state, None, length=num_steps)
+
+
 def simulate_2d(state, cfg, num_steps: int):
-    @jax.jit
-    def _run(s0):
-        def body(s, _):
-            return step_2d(s, cfg)
-
-        return jax.lax.scan(body, s0, None, length=num_steps)
-
-    return _run(state)
+    return _simulate_2d_jit(state, cfg, num_steps)
