@@ -140,6 +140,10 @@ class SolverConfig:
     # Pallas fused stencil kernels for the CG matvecs: 'auto' (TPU +
     # fits VMEM), 'on', or 'off' (pure-XLA path)
     pallas: str = "auto"
+    # preconditioner for the cell-centred Poisson solves: 'jacobi' or
+    # 'mg' (geometric multigrid V-cycle; resolution-independent
+    # iteration counts — the right choice at 128^3+)
+    precond: str = "jacobi"
     # Reference-bug compatibility switches (SURVEY §7 tracked list). False =
     # fixed behaviour (documented divergence), True = mimic the reference.
     density_wz_bug: bool = False

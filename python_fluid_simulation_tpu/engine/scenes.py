@@ -133,6 +133,13 @@ def dam_break_scene(cfg: SimConfig | None = None, seed: int = 0) -> SimState:
 
 def scaled_buckling_config(res: int = 128, **kw) -> SimConfig:
     """BASELINE configs 3/5: the buckling scene scaled to res^3-class grids
-    (dx chosen so the tallest axis has `res` cells)."""
+    (dx chosen so the tallest axis has `res` cells).  Large grids default
+    to the multigrid preconditioner (iteration counts stay ~flat with
+    resolution; Jacobi's grow linearly)."""
     base = buckling_config(dx=1.0 / res, **kw)
-    return dataclasses.replace(base, particle_dx=0.5 / res)
+    solver = base.solver
+    if res >= 96:
+        solver = dataclasses.replace(solver, precond="mg", max_iter=200)
+    return dataclasses.replace(
+        base, particle_dx=0.5 / res, solver=solver
+    )

@@ -101,6 +101,7 @@ def step_3d(
         jacobi_precond=sol.jacobi_precond,
         wz_bug=sol.density_wz_bug,
         use_pallas=sol.pallas,
+        precond_kind=sol.precond,
     )
     px = dres.px
     lphi, lvol = _levelsets(px, cfg)
@@ -168,6 +169,7 @@ def step_3d(
         jacobi_precond=sol.jacobi_precond,
         dt_scale=(dt if sol.pressure_dt_scaled else None),
         use_pallas=sol.pallas,
+        precond_kind=sol.precond,
     )
     gv = list(pres.v_faces)
 

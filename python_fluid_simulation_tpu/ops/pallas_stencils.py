@@ -31,17 +31,21 @@ try:
 except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
-_VMEM_BUDGET = 100 * 1024 * 1024  # leave headroom below ~128MB v5e VMEM
+# v5e scoped VMEM is 16MB; Mosaic streams single-use operands but the
+# simultaneously-live set (CG carry vectors / the coupled fields) must fit
+_VMEM_BUDGET = 13 * 1024 * 1024
 
 
 def _pad_lanes(n: int) -> int:
     return ((n + 127) // 128) * 128
 
 
-def fits_vmem(shape: Sequence[int], num_arrays: int) -> bool:
+def fits_vmem(shape: Sequence[int], num_live_arrays: int) -> bool:
+    """Gate on the number of SIMULTANEOUSLY LIVE whole-field buffers the
+    kernel holds (scratch + carry + a couple of streaming operands)."""
     x = shape[0]
     yz = _pad_lanes(shape[1] * shape[2])
-    return 4 * x * yz * num_arrays < _VMEM_BUDGET
+    return 4 * x * yz * num_live_arrays < _VMEM_BUDGET
 
 
 def _flatten(a3, yzp):

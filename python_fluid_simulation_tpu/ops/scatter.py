@@ -107,7 +107,13 @@ def segment_min_sorted(
 
 def _bcast(cond, like):
     if like.ndim > cond.ndim:
-        cond = cond.reshape(cond.shape + (1,) * (like.ndim - cond.ndim))
+        # broadcast FULLY: an (K,1) intermediate tiles to (K,128) on TPU
+        # (128x padding waste — observed as HBM OOM at 128^3); (K,C)
+        # pads to the next lane multiple only
+        cond = jnp.broadcast_to(
+            cond.reshape(cond.shape + (1,) * (like.ndim - cond.ndim)),
+            like.shape,
+        )
     return cond
 
 

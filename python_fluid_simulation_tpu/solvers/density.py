@@ -247,7 +247,7 @@ def prepare_density_matvec(
             pallas_available,
         )
 
-        if use_pallas == "on" or pallas_available(lphi.shape, 9):
+        if use_pallas == "on" or pallas_available(lphi.shape, 4):
             return make_stencil_matvec(diag, coefs), precond_diag
 
     def matvec(p):
@@ -358,6 +358,7 @@ def density_solve_3d(
     jacobi_precond: bool = True,
     wz_bug: bool = False,
     use_pallas: str = "auto",
+    precond_kind: str = "jacobi",
 ) -> DensityResult:
     """Full density projection; returns moved particle positions.
 
@@ -378,6 +379,7 @@ def density_solve_3d(
         tol=tol, rel_tol=rel_tol, max_iter=max_iter,
         jacobi_precond=jacobi_precond, use_pallas=use_pallas,
         wz_bug_coefs=density_coefficients(w_faces, lphi, wz_bug),
+        precond_kind=precond_kind,
     )
     face_shapes = [
         tuple(n + (1 if i == a else 0) for i, n in enumerate(gres))

@@ -224,7 +224,7 @@ def prepare_pressure_matvec(
             pallas_available,
         )
 
-        if use_pallas == "on" or pallas_available(lphi.shape, 9):
+        if use_pallas == "on" or pallas_available(lphi.shape, 4):
             return make_stencil_matvec(diag, coefs), precond_diag
 
     def matvec(p):
@@ -255,6 +255,7 @@ def pressure_solve_3d(
     jacobi_precond: bool = True,
     dt_scale: float | None = None,
     use_pallas: str = "auto",
+    precond_kind: str = "jacobi",
 ) -> PressureResult:
     """Full projection: RHS → CG → apply.
 
@@ -268,7 +269,7 @@ def pressure_solve_3d(
         b, w_faces, lphi,
         tol=tol, rel_tol=rel_tol, max_iter=max_iter,
         jacobi_precond=jacobi_precond, dt_scale=dt_scale,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, precond_kind=precond_kind,
     )
     new_v = apply_pressure_3d(v_faces, x, w_faces, sv, lphi, cell_size)
     return PressureResult(new_v, x, stats)
@@ -287,6 +288,7 @@ def solve_cell_poisson(
     unit_diag_weight: bool = False,
     use_pallas: str = "auto",
     wz_bug_coefs=None,
+    precond_kind: str = "jacobi",
 ):
     """Shared CG driver for the cell-centred ghost-fluid systems
     (pressure & density).  Uses the single-kernel Pallas PCG (the whole
@@ -307,6 +309,7 @@ def solve_cell_poisson(
         d == 3
         and dt_scale is None
         and jacobi_precond
+        and precond_kind == "jacobi"
         and use_pallas != "off"
     ):
         from python_fluid_simulation_tpu.ops.pallas_stencils import (
@@ -314,7 +317,7 @@ def solve_cell_poisson(
             pallas_available,
         )
 
-        if use_pallas == "on" or pallas_available(lphi.shape, 14):
+        if use_pallas == "on" or pallas_available(lphi.shape, 8):
             solve = make_stencil_cg(
                 diag, coefs, precond_diag,
                 tol=tol, rel_tol=rel_tol, max_iter=max_iter,
@@ -335,7 +338,17 @@ def solve_cell_poisson(
         return s * out
 
     precond = None
-    if jacobi_precond:
+    if precond_kind == "mg":
+        from python_fluid_simulation_tpu.solvers.multigrid import (
+            make_mg_preconditioner,
+        )
+
+        mg = make_mg_preconditioner(diag, coefs)
+
+        def precond(r):  # noqa: F811
+            return mg(r) / s
+
+    elif jacobi_precond:
         sdiag = s * precond_diag
 
         def precond(r):  # noqa: F811

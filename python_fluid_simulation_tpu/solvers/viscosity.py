@@ -257,7 +257,7 @@ def prepare_viscosity_matvec(
         )
 
         common = tuple(max(s[i] for s in face_shapes) for i in range(3))
-        if use_pallas == "on" or pallas_available(common, 2 * d + 14 * d + d):
+        if use_pallas == "on" or pallas_available(common, 3 * d):
             return (
                 make_coupled_stencil_matvec(diags, per_axis, face_shapes),
                 tuple(pdiags),
