@@ -56,16 +56,30 @@ def compute_fluid_levelset(
 
     background = jnp.asarray(3.0 * gdx, px.dtype)
     offsets = list(itertools.product(range(-2, 3), repeat=d))
-    # dist to the UNCLAMPED target center is a pure particle function per
-    # offset; border-clamped duplicates take the min over the folded
-    # planes, exactly as repeated atomic.min into the clamped cell.
-    vals = []
-    for offs in offsets:
-        # reference computes the distance to the CLAMPED cell center
-        gii = jnp.clip(gi + jnp.asarray(offs, jnp.int32), 0, hi)
-        center = (gii.astype(px.dtype) + 0.5) * h + bmin
-        vals.append(jnp.linalg.norm(center - px, axis=-1) - r)
-    vals = jnp.stack(vals, axis=-1)  # (N, 5^d)
+    # distance channels computed axis-by-axis in (N, 5^d) layout — pure
+    # 2D arrays whose lane dim pads 125 -> 128 (a per-offset norm loop
+    # creates (N,1) temporaries that tile 128x on TPU and OOM'd HBM at
+    # 128^3-class particle counts); the reference clamps the target cell
+    # before measuring the distance (cell 4 :281-284)
+    n = px.shape[0]
+    n_off = len(offsets)
+    offs_arr = jnp.asarray(offsets, jnp.int32)  # (5^d, d)
+    dist2 = None
+    for ax in range(d):
+        gii_ax = jnp.clip(
+            jnp.broadcast_to(gi[:, ax][:, None], (n, n_off))
+            + offs_arr[None, :, ax],
+            0,
+            int(res[ax]) - 1,
+        )
+        pxb = jnp.broadcast_to(px[:, ax][:, None], (n, n_off))
+        cd = (
+            (gii_ax.astype(px.dtype) + 0.5) * cell_size[ax]
+            + bound_min[ax]
+            - pxb
+        )
+        dist2 = cd * cd if dist2 is None else dist2 + cd * cd
+    vals = jnp.sqrt(dist2) - r  # (N, 5^d)
 
     idx = _flat_index(gi, res)
     sorted_ids, sorted_vals = sort_by_segment(idx, vals)
