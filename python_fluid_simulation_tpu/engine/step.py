@@ -211,13 +211,20 @@ def step_3d(
 
 
 def make_step(cfg: SimConfig, unet_apply=None, unet_params=None):
-    """Jitted single step with a static config."""
+    """Jitted single step with a static config.
 
-    @jax.jit
-    def _step(state):
-        return step_3d(state, cfg, unet_apply, unet_params)
+    UNet params are threaded as a jit ARGUMENT — capturing them in the
+    closure would bake ~69M weights into the program as constants
+    (hundreds of MB of MLIR; the remote-compile path rejects it)."""
 
-    return _step
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def _step(state, params, apply_fn):
+        return step_3d(state, cfg, apply_fn, params)
+
+    def step(state):
+        return _step(state, unet_params, unet_apply)
+
+    return step
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
