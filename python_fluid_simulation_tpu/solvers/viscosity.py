@@ -257,7 +257,10 @@ def prepare_viscosity_matvec(
         )
 
         common = tuple(max(s[i] for s in face_shapes) for i in range(3))
-        if use_pallas == "on" or pallas_available(common, 3 * d):
+        # the coupled kernel holds all 14d coefficient operands + the d
+        # fields + temporaries live (Mosaic does not reliably stream them
+        # inside a scan body) — gate on the full set
+        if use_pallas == "on" or pallas_available(common, 16 * d + 8):
             return (
                 make_coupled_stencil_matvec(diags, per_axis, face_shapes),
                 tuple(pdiags),
