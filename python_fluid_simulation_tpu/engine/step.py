@@ -55,8 +55,14 @@ def _levelsets(px, cfg: SimConfig):
 
 
 def step_3d(
-    state: SimState, cfg: SimConfig, unet_apply=None, unet_params=None
+    state: SimState, cfg: SimConfig, unet_apply=None, unet_params=None,
+    capture_ml: bool = False,
 ) -> Tuple[SimState, Dict[str, jnp.ndarray]]:
+    """One step.  With ``capture_ml`` the metrics include the learned-
+    viscosity training pair captured around the CG solve — the engine-side
+    equivalent of the reference's apic-mode ``ml_data`` dump (cell 13
+    :4611-4630); use with python-loop stepping, not scan (the feature
+    boxes are large)."""
     g = cfg.grid
     ph = cfg.physics
     sol = cfg.solver
@@ -146,6 +152,14 @@ def step_3d(
                 tol=sol.tol, rel_tol=sol.rel_tol, max_iter=sol.max_iter,
                 jacobi_precond=sol.jacobi_precond, use_pallas=sol.pallas,
             )
+            if capture_ml:
+                from python_fluid_simulation_tpu.models.train import (
+                    capture_viscosity_pair,
+                )
+
+                ml_pair = capture_viscosity_pair(
+                    tuple(gv), vres.v_faces, sphi, lvol, cfg
+                )
             gv = list(vres.v_faces)
             visc_iters = vres.stats.iters
             visc_resid = vres.stats.residual
@@ -207,6 +221,8 @@ def step_3d(
         "pressure_iters": pres.stats.iters,
         "pressure_residual": pres.stats.residual,
     }
+    if capture_ml:
+        metrics["ml_pair"] = ml_pair
     return new_state, metrics
 
 

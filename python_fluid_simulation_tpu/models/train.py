@@ -123,3 +123,25 @@ def train(
         except StopIteration:
             break
     return ts.params, losses
+
+
+def generate_training_data(state, cfg, num_steps: int):
+    """Run the classical ('apic') engine capturing one training pair per
+    step — the offline data-generation pipeline behind the paper's UNet
+    (reference: the 'apic' branch of cell 13 dumps ml_data per step).
+
+    Yields ViscosityExample per step; the state advances normally.
+    """
+    import functools
+
+    import jax
+
+    from python_fluid_simulation_tpu.engine.step import step_3d
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def _step(s, _cfg):
+        return step_3d(s, _cfg, capture_ml=True)
+
+    for _ in range(num_steps):
+        state, metrics = _step(state, cfg)
+        yield metrics["ml_pair"]

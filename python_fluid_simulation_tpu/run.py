@@ -38,6 +38,9 @@ def build_argparser():
     p.add_argument("--snapshot-pickle", action="store_true")
     p.add_argument("--export-obj", action="store_true",
                    help="export the final fluid surface as OBJ")
+    p.add_argument("--export-html", action="store_true",
+                   help="write a standalone HTML replay of the particle "
+                        "series (the reference's k3d playback, cell 14)")
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--resume", default=None)
     p.add_argument("--profile-dir", default=None)
@@ -161,6 +164,14 @@ def main(argv=None):
 
     if args.snapshot_pickle:
         series.save(os.path.join(args.out, "ps.pickle"))
+    if args.export_html:
+        from python_fluid_simulation_tpu.utils.viewer import (
+            export_html_replay,
+        )
+
+        export_html_replay(
+            series.series, os.path.join(args.out, "replay.html")
+        )
     if args.export_obj and cfg is not None:
         from python_fluid_simulation_tpu.ops.levelset import (
             compute_fluid_levelset,

@@ -74,3 +74,25 @@ def test_masked_mse_ignores_padding():
     target = jnp.zeros((1, 4, 4, 4, 3))
     mask = jnp.zeros((1, 4, 4, 4, 3)).at[0, 1, 1, 1, 0].set(1.0)
     assert float(masked_mse(pred, target, mask)) == 1.0
+
+
+def test_generate_training_data_from_engine():
+    from python_fluid_simulation_tpu.engine.scenes import dam_break_scene
+    from python_fluid_simulation_tpu.models.train import (
+        generate_training_data,
+    )
+    import dataclasses
+    from python_fluid_simulation_tpu.config import SolverConfig
+
+    cfg = _tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        physics=dataclasses.replace(cfg.physics, mu=0.5),
+        solver=SolverConfig(max_iter=200),
+    )
+    state = dam_break_scene(cfg)
+    pairs = list(generate_training_data(state, cfg, 2))
+    assert len(pairs) == 2
+    ex = pairs[0]
+    assert ex.x.shape[-1] == 11 and ex.y.shape[-1] == 3
+    assert np.isfinite(np.asarray(ex.y)).all()

@@ -114,3 +114,24 @@ def test_native_marching_cubes_matches_sphere_area():
     center = (n - 1) / 2
     rad = np.linalg.norm(verts - center, axis=1) * h
     assert np.abs(rad - 0.3).max() < 0.05
+
+
+def test_html_replay_export(tmp_path):
+    from python_fluid_simulation_tpu.utils.viewer import export_html_replay
+
+    rng = np.random.default_rng(0)
+    series = {
+        0.0: rng.random((50, 3)).astype(np.float32),
+        0.1: rng.random((50, 3)).astype(np.float32),
+    }
+    path = str(tmp_path / "replay.html")
+    n = export_html_replay(series, path)
+    assert n == 2
+    html = open(path).read()
+    assert "num_points" in html and html.startswith("<!DOCTYPE html>")
+    # embedded payload decodes back to the particle data
+    import base64, re
+
+    b64 = re.search(r'atob\("([^"]+)"\)', html).group(1)
+    buf = np.frombuffer(base64.b64decode(b64), np.float32).reshape(2, 50, 3)
+    np.testing.assert_array_equal(buf[0], series[0.0])
