@@ -163,6 +163,27 @@ class SimConfig:
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)
 
+    def to_yaml(self) -> str:
+        import yaml
+
+        return yaml.safe_dump(dataclasses.asdict(self), sort_keys=False)
+
+    @staticmethod
+    def from_yaml(s: str) -> "SimConfig":
+        import yaml
+
+        return SimConfig.from_json(json.dumps(yaml.safe_load(s)))
+
+    @staticmethod
+    def load(path: str) -> "SimConfig":
+        """Load a config from a .json or .yaml file (SURVEY §5: the
+        reference has no config system — notebook constants only)."""
+        with open(path) as f:
+            text = f.read()
+        if path.endswith((".yaml", ".yml")):
+            return SimConfig.from_yaml(text)
+        return SimConfig.from_json(text)
+
     @staticmethod
     def from_json(s: str) -> "SimConfig":
         d = json.loads(s)

@@ -98,6 +98,57 @@ def dam_break_scene_2d(cfg: SimConfig2D | None = None, seed: int = 0):
     )
 
 
+def droplet_scene_2d(cfg: SimConfig2D | None = None, seed: int = 0):
+    """2D droplet: a disc of fluid falling into a shallow pool
+    (BASELINE config 2's 'droplet' variant)."""
+    cfg = cfg or SimConfig2D()
+    g = cfg.grid
+    rbs = sdf2d.RigidBodySet2D()
+    c = [m + 0.5 * s for m, s in zip(g.bound_min, g.bound_size)]
+    inner = [s - 4 * g.dx for s in g.bound_size]
+    rbs.add("container", "box", inner, flip=True, center=c)
+    solid = make_solid_state_2d(cfg, rbs)
+
+    rng = np.random.default_rng(seed)
+    pdx = cfg.particle_dx
+    # shallow pool across the floor
+    lo = [m + 2.5 * g.dx for m in g.bound_min]
+    pool_w = g.bound_size[0] - 5 * g.dx
+    pool_h = 0.15 * g.bound_size[1]
+    nx, ny = int(pool_w / pdx), int(pool_h / pdx)
+    ii, jj = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+    pool = np.stack(
+        [lo[0] + (ii.ravel() + 0.5) * pdx, lo[1] + (jj.ravel() + 0.5) * pdx],
+        axis=-1,
+    )
+    # droplet disc
+    cx = g.bound_min[0] + 0.5 * g.bound_size[0]
+    cy = g.bound_min[1] + 0.7 * g.bound_size[1]
+    r = 0.12 * min(g.bound_size)
+    nd = int(2 * r / pdx) + 1
+    di, dj = np.meshgrid(np.arange(nd), np.arange(nd), indexing="ij")
+    drop = np.stack(
+        [cx - r + (di.ravel() + 0.5) * pdx, cy - r + (dj.ravel() + 0.5) * pdx],
+        axis=-1,
+    )
+    drop = drop[np.linalg.norm(drop - [cx, cy], axis=1) <= r]
+    pos = np.concatenate([pool, drop]).astype(np.float32)
+    sd, _ = sdf2d.evaluate_2d(solid.rb, jnp.asarray(pos))
+    pos = pos[np.asarray(sd) >= 0]
+    pos = pos + rng.standard_normal(pos.shape).astype(np.float32) * pdx * 0.3
+    n = pos.shape[0]
+    particles = Particles(
+        x=jnp.asarray(pos),
+        v=jnp.zeros((n, 2), jnp.float32),
+        c=jnp.zeros((n, 2, 2), jnp.float32),
+        m=jnp.full((n,), cfg.physics.rho * pdx**2, jnp.float32),
+    )
+    return cfg, SimState(
+        particles=particles, solid=solid,
+        t=jnp.float32(0.0), step_idx=jnp.int32(0),
+    )
+
+
 def _levelsets_2d(px, cfg: SimConfig2D):
     g = cfg.grid
     lphi = compute_fluid_levelset(px, g.res, g.bound_min, g.cell_size, g.dx)

@@ -15,11 +15,11 @@ Used for: (a) validating the communication pattern on a virtual CPU mesh,
 from __future__ import annotations
 
 import functools
-from typing import Callable, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from python_fluid_simulation_tpu.solvers.pressure import (
     pressure_matvec_3d,

@@ -23,7 +23,7 @@ import time
 def build_argparser():
     p = argparse.ArgumentParser(description="TPU fluid engine runner")
     p.add_argument("--scene", default="buckling",
-                   choices=["buckling", "dam_break", "dam_break_2d"])
+                   choices=["buckling", "dam_break", "dam_break_2d", "droplet_2d"])
     p.add_argument("--dx", type=float, default=None)
     p.add_argument("--mu", type=float, default=None)
     p.add_argument("--duration", type=float, default=None)
@@ -67,13 +67,18 @@ def main(argv=None):
     from python_fluid_simulation_tpu.utils.metrics import MetricsLogger
     from python_fluid_simulation_tpu.utils.timers import profiler_trace
 
-    if args.scene == "dam_break_2d":
+    if args.scene in ("dam_break_2d", "droplet_2d"):
         from python_fluid_simulation_tpu.engine.step2d import (
             dam_break_scene_2d,
+            droplet_scene_2d,
             simulate_2d,
         )
 
-        cfg, state = dam_break_scene_2d()
+        maker = (
+            droplet_scene_2d if args.scene == "droplet_2d"
+            else dam_break_scene_2d
+        )
+        cfg, state = maker()
         sim = simulate_2d
     else:
         if args.scene == "buckling":

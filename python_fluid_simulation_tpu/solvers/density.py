@@ -22,7 +22,6 @@ import jax.numpy as jnp
 
 from python_fluid_simulation_tpu.ops.fractions import edge_in_fraction
 from python_fluid_simulation_tpu.ops.indexing import (
-    P3_CENTER,
     dual_sample,
     interior_mask,
     sample,

@@ -24,7 +24,7 @@ runs as pure XLA on any backend and fuses on TPU.
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Sequence, Tuple
+from typing import List, NamedTuple, Tuple
 
 import jax.numpy as jnp
 

@@ -39,7 +39,6 @@ from python_fluid_simulation_tpu.ops.indexing import (
     dual_sample,
     face_parity,
     interior_mask,
-    parity_view,
     sample,
     split_parity,
 )

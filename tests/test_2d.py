@@ -122,3 +122,24 @@ def test_2d_dam_break_steps(scene2d):
     spread1 = float(np.std(x[:, 0]))
     assert spread1 > spread0 * 0.99
     assert int(np.asarray(metrics["pressure_iters"]).sum()) > 0
+
+
+def test_droplet_scene_runs():
+    from python_fluid_simulation_tpu.engine.step2d import (
+        droplet_scene_2d,
+        simulate_2d,
+    )
+
+    cfg = SimConfig2D(
+        grid=GridConfig2D(bound_min=(0.0, 0.0), bound_size=(1.0, 1.0),
+                          dx=1.0 / 20),
+        physics=PhysicsConfig(mu=0.2, dt=1.0 / 120.0),
+        solver=SolverConfig(max_iter=400),
+        particle_dx=1.0 / 40,
+    )
+    cfg, state = droplet_scene_2d(cfg)
+    final, _ = simulate_2d(state, cfg, 5)
+    x = np.asarray(final.particles.x)
+    assert np.all(np.isfinite(x))
+    # the droplet falls
+    assert float(final.particles.v[:, 1].mean()) < 0.0

@@ -135,3 +135,13 @@ def test_html_replay_export(tmp_path):
     b64 = re.search(r'atob\("([^"]+)"\)', html).group(1)
     buf = np.frombuffer(base64.b64decode(b64), np.float32).reshape(2, 50, 3)
     np.testing.assert_array_equal(buf[0], series[0.0])
+
+
+def test_config_yaml_roundtrip(tmp_path):
+    from python_fluid_simulation_tpu.config import SimConfig
+
+    cfg = SimConfig()
+    p = str(tmp_path / "cfg.yaml")
+    open(p, "w").write(cfg.to_yaml())
+    cfg2 = SimConfig.load(p)
+    assert cfg2 == cfg
