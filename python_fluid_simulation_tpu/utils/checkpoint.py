@@ -32,16 +32,33 @@ def _state_to_numpy(state: SimState):
     return jax.tree.map(np.asarray, state)
 
 
-def save_checkpoint(path: str, state: SimState, cfg: SimConfig, step: int):
+def _config_to_json(cfg) -> str:
+    """Serialize SimConfig (frozen dataclass) or SimConfig2D (NamedTuple)."""
+    import dataclasses as dc
+
+    def conv(o):
+        if dc.is_dataclass(o):
+            return {k: conv(v) for k, v in dc.asdict(o).items()}
+        if hasattr(o, "_asdict"):
+            return {k: conv(v) for k, v in o._asdict().items()}
+        if isinstance(o, tuple):
+            return list(o)
+        return o
+
+    return json.dumps(conv(cfg), indent=2)
+
+
+def save_checkpoint(path: str, state: SimState, cfg, step: int):
     """Write state + config; `path` is a directory."""
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "config.json"), "w") as f:
-        f.write(cfg.to_json())
+        f.write(_config_to_json(cfg))
     if _HAS_ORBAX:
         ckpt = ocp.StandardCheckpointer()
         ckpt.save(
             os.path.abspath(os.path.join(path, f"state_{step}")),
             _state_to_numpy(state),
+            force=True,  # same-step re-saves overwrite (end-of-run save)
         )
         ckpt.wait_until_finished()
     else:  # portable fallback
@@ -65,7 +82,31 @@ def restore_checkpoint(
     path: str, step: Optional[int] = None
 ) -> Tuple[SimState, SimConfig, int]:
     with open(os.path.join(path, "config.json")) as f:
-        cfg = SimConfig.from_json(f.read())
+        text = f.read()
+    if len(json.loads(text).get("grid", {}).get("bound_min", [0] * 3)) == 2:
+        from python_fluid_simulation_tpu.config import GridConfig2D
+        from python_fluid_simulation_tpu.engine.step2d import SimConfig2D
+        from python_fluid_simulation_tpu.config import (
+            PhysicsConfig,
+            SolverConfig,
+        )
+
+        d = json.loads(text)
+        g = d["grid"]
+        cfg = SimConfig2D(
+            grid=GridConfig2D(
+                bound_min=tuple(g["bound_min"]),
+                bound_size=tuple(g["bound_size"]),
+                dx=g["dx"],
+            ),
+            physics=PhysicsConfig(**d["physics"]),
+            solver=SolverConfig(**d["solver"]),
+            particle_dx=d["particle_dx"],
+            dt_mode=d["dt_mode"],
+            duration=d["duration"],
+        )
+    else:
+        cfg = SimConfig.from_json(text)
     if step is None:
         step = latest_step(path)
         if step is None:

@@ -82,3 +82,54 @@ def test_multi_step_scan_stable(tiny):
     assert metrics["dt"].shape == (10,)
     assert int(np.asarray(metrics["pressure_iters"]).sum()) > 0
     assert int(np.asarray(metrics["density_iters"]).sum()) > 0
+
+
+def test_unet_warm_mode_tiny():
+    """'unet_warm' = UNet prediction warm-starts the CG solve (the paper's
+    headline mode, BASELINE config 4)."""
+    import jax
+
+    from python_fluid_simulation_tpu.models.features import padded_box
+    from python_fluid_simulation_tpu.models.unet3d import UNet3D
+
+    cfg = SimConfig(
+        grid=GridConfig3D(
+            bound_min=(0.0, 0.0, 0.0), bound_size=(1.0, 1.0, 1.0),
+            dx=1.0 / 6,
+        ),
+        physics=PhysicsConfig(mu=0.5, dt=1.0 / 60.0),
+        solver=SolverConfig(max_iter=200, viscosity_mode="unet_warm"),
+        particle_dx=1.0 / 12,
+    )
+    state = dam_break_scene(cfg)
+    model = UNet3D(width=4)
+    data, _ = padded_box(cfg.grid.dual_res)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, *data, 11)))
+    s1, m = make_step(cfg, model.apply, params)(state)
+    assert np.all(np.isfinite(np.asarray(s1.particles.x)))
+    assert int(m["viscosity_iters"]) >= 0
+
+
+def test_unet_mode_tiny():
+    import jax
+
+    from python_fluid_simulation_tpu.models.features import padded_box
+    from python_fluid_simulation_tpu.models.unet3d import UNet3D
+
+    cfg = SimConfig(
+        grid=GridConfig3D(
+            bound_min=(0.0, 0.0, 0.0), bound_size=(1.0, 1.0, 1.0),
+            dx=1.0 / 6,
+        ),
+        physics=PhysicsConfig(mu=0.5, dt=1.0 / 60.0),
+        solver=SolverConfig(max_iter=200, viscosity_mode="unet"),
+        particle_dx=1.0 / 12,
+        dt_mode="fixed",
+    )
+    state = dam_break_scene(cfg)
+    model = UNet3D(width=4)
+    data, _ = padded_box(cfg.grid.dual_res)
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, *data, 11)))
+    s1, m = make_step(cfg, model.apply, params)(state)
+    assert np.all(np.isfinite(np.asarray(s1.particles.x)))
+    assert int(m["viscosity_iters"]) == 0  # no CG in pure unet mode
