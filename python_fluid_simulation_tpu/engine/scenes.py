@@ -143,3 +143,53 @@ def scaled_buckling_config(res: int = 128, **kw) -> SimConfig:
     return dataclasses.replace(
         base, particle_dx=0.5 / res, solver=solver
     )
+
+
+def coiling_config(res: int = 256, mu: float = 5.0) -> SimConfig:
+    """BASELINE config 5: high-viscosity coiling — a tall thin column of
+    very viscous fluid falling onto the container floor (rope coiling).
+    Domain 0.3 x 1.2 x 0.3 so `res` is the vertical cell count; large
+    grids default to MG preconditioning and are meant to shard over a
+    mesh (parallel/)."""
+    base = SimConfig(
+        grid=GridConfig3D(
+            bound_min=(-0.15, 0.0, -0.15),
+            bound_size=(0.3, 1.2, 0.3),
+            dx=1.2 / res,
+        ),
+        physics=PhysicsConfig(rho=1000.0, mu=mu, dt=1.0 / 300.0),
+        solver=SolverConfig(),
+        particle_dx=0.6 / res,
+        dt_mode="cfl",
+        duration=3.0,
+    )
+    solver = base.solver
+    if res >= 96:
+        solver = dataclasses.replace(solver, precond="mg", max_iter=200)
+    return dataclasses.replace(base, solver=solver)
+
+
+def coiling_scene(cfg: SimConfig | None = None, seed: int = 0) -> SimState:
+    """Container + a thin tall fluid column centred in the domain."""
+    cfg = cfg or coiling_config()
+    g = cfg.grid
+    rbs = RigidBodySet()
+    c = [m + 0.5 * s for m, s in zip(g.bound_min, g.bound_size)]
+    inner = [s - 4 * g.dx for s in g.bound_size]
+    rbs.add("container", "box", inner, flip=True, center=c)
+    solid = make_solid_state(cfg, rbs)
+    column_w = 0.12 * g.bound_size[0] + 4 * cfg.particle_dx
+    pos = seed_particle_box(
+        center=[0.0, g.bound_min[1] + 0.75 * g.bound_size[1], 0.0],
+        size=[column_w, 0.4 * g.bound_size[1], column_w],
+        dx=cfg.particle_dx,
+        rb_table=solid.rb,
+        seed=seed,
+    )
+    particles = make_particles(pos, cfg.physics.rho, cfg.particle_dx)
+    return SimState(
+        particles=particles,
+        solid=solid,
+        t=jnp.float32(0.0),
+        step_idx=jnp.int32(0),
+    )

@@ -141,3 +141,97 @@ def sharded_pressure_matvec_interior_oracle(w_faces, lphi):
         return pressure_matvec_3d(p, w_faces, lphi)
 
     return matvec
+
+
+def sharded_cell_poisson_cg(
+    mesh: Mesh,
+    b,
+    diag,
+    coefs,
+    precond_diag,
+    *,
+    tol: float = 1e-3,
+    rel_tol: float = 1e-3,
+    max_iter: int = 600,
+):
+    """The COMPLETE distributed Jacobi-PCG: the whole solve runs inside one
+    shard_map region — per-iteration communication is exactly one 1-cell
+    halo exchange of the search direction (ppermute over ICI) plus two
+    scalar psum reductions, the design SURVEY §2.4 calls for.
+
+    b/diag/precond_diag and each coefficient field are cell-centred global
+    arrays (from pressure_coefficients / density_coefficients); x-extent
+    must divide the mesh.  Returns (x, iters, residual).
+    """
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    nx = b.shape[0]
+    assert nx % n == 0, "grid x-extent must divide the mesh"
+    offs = tuple(off for off, _ in coefs)
+    coef_fields = [c for _, c in coefs]
+    n_coef = len(coef_fields)
+
+    from python_fluid_simulation_tpu.ops.indexing import shift as _shift
+
+    def local_solve(b_l, diag_l, pd_l, *coef_ls):
+        nloc = b_l.shape[0]
+
+        def matvec(p_l):
+            p_h = halo_exchange(p_l, axis)
+            out = diag_l * p_l
+            for off, c_l in zip(offs, coef_ls):
+                q = jax.lax.slice_in_dim(
+                    p_h, 1 + off[0], 1 + off[0] + nloc, axis=0
+                )
+                if off[1] or off[2]:
+                    q = _shift(q, (0, off[1], off[2]), 0.0)
+                out = out + c_l * q
+            return out
+
+        def gdot(u, v):
+            return psum_dot(u, v, axis)
+
+        r0 = b_l
+        z0 = r0 / pd_l
+        delta0 = gdot(r0, z0)
+        res0 = gdot(r0, r0)
+        thresh = jnp.maximum(
+            jnp.float32(tol) ** 2, jnp.float32(rel_tol) ** 2 * res0
+        )
+
+        def cond(c):
+            _, _, _, _, res, k, delta = c
+            return (res >= thresh) & (k < max_iter) & (delta != 0)
+
+        def body(c):
+            x, d, r, z, res, k, delta = c
+            q = matvec(d)
+            dq = gdot(d, q)
+            alpha = jnp.where(dq != 0, delta / dq, 0.0)
+            x = x + alpha * d
+            r = r - alpha * q
+            z = r / pd_l
+            nd = gdot(r, z)
+            nres = gdot(r, r)
+            beta = jnp.where(delta != 0, nd / delta, 0.0)
+            return (x, z + beta * d, r, z, nres, k + 1, nd)
+
+        x0 = jnp.zeros_like(b_l)
+        x, _, _, _, res, k, _ = jax.lax.while_loop(
+            cond, body, (x0, z0, r0, z0, res0, jnp.int32(0), delta0)
+        )
+        return x, k, res
+
+    spec = P(axis, None, None)
+    mapped = shard_map(
+        local_solve,
+        mesh=mesh,
+        in_specs=(spec,) * (3 + n_coef),
+        out_specs=(spec, P(), P()),
+    )
+
+    @jax.jit
+    def solve():
+        return mapped(b, diag, precond_diag, *coef_fields)
+
+    return solve()

@@ -23,7 +23,7 @@ import time
 def build_argparser():
     p = argparse.ArgumentParser(description="TPU fluid engine runner")
     p.add_argument("--scene", default="buckling",
-                   choices=["buckling", "dam_break", "dam_break_2d", "droplet_2d"])
+                   choices=["buckling", "dam_break", "dam_break_2d", "droplet_2d", "coiling"])
     p.add_argument("--dx", type=float, default=None)
     p.add_argument("--mu", type=float, default=None)
     p.add_argument("--duration", type=float, default=None)
@@ -81,7 +81,13 @@ def main(argv=None):
         cfg, state = maker()
         sim = simulate_2d
     else:
-        if args.scene == "buckling":
+        if args.scene == "coiling":
+            cfg = scenes.coiling_config(
+                res=int(round(1.2 / args.dx)) if args.dx else 256,
+                mu=(args.mu if args.mu is not None else 5.0),
+            )
+            state = scenes.coiling_scene(cfg)
+        elif args.scene == "buckling":
             cfg = scenes.buckling_config(
                 dx=args.dx or 0.0125, mu=(args.mu if args.mu is not None else 1.0)
             )

@@ -140,3 +140,46 @@ def test_gspmd_sharded_full_step():
     np.testing.assert_allclose(
         x, np.asarray(out1.particles.x), atol=1e-4
     )
+
+
+def test_distributed_pcg_matches_single_device():
+    """The full shard_map'd PCG (halo matvec + psum dots) reproduces the
+    single-device solve."""
+    from python_fluid_simulation_tpu.parallel.halo import (
+        sharded_cell_poisson_cg,
+    )
+    from python_fluid_simulation_tpu.solvers.pressure import (
+        pressure_coefficients,
+        pressure_rhs_3d,
+        solve_cell_poisson,
+    )
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(3)
+    dual = tuple(2 * k + 1 for k in N)
+    sphi = jnp.ones(dual, jnp.float32)
+    lphi_np = np.ones(N, np.float32)
+    lphi_np[2:-2, 2:-3, 2:-2] = -1.0
+    lphi = jnp.asarray(lphi_np)
+    w = compute_solid_frac_3d(sphi)
+    shapes = [
+        tuple(k + (1 if i == a else 0) for i, k in enumerate(N))
+        for a in range(3)
+    ]
+    v = tuple(
+        jnp.asarray(rng.standard_normal(s).astype(np.float32)) for s in shapes
+    )
+    sv = jnp.zeros(dual + (3,), jnp.float32)
+    b = pressure_rhs_3d(v, sv, lphi, w, (0.1,) * 3)
+    diag, coefs, pd = pressure_coefficients(w, lphi)
+
+    x_d, iters_d, res_d = sharded_cell_poisson_cg(
+        mesh, b, diag, coefs, pd, tol=1e-5, rel_tol=1e-5, max_iter=800
+    )
+    x_s, st = solve_cell_poisson(
+        b, w, lphi, tol=1e-5, rel_tol=1e-5, max_iter=800, use_pallas="off"
+    )
+    assert abs(int(iters_d) - int(st.iters)) <= 2
+    np.testing.assert_allclose(
+        np.asarray(x_d), np.asarray(x_s), rtol=2e-3, atol=2e-4
+    )

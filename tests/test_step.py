@@ -133,3 +133,23 @@ def test_unet_mode_tiny():
     s1, m = make_step(cfg, model.apply, params)(state)
     assert np.all(np.isfinite(np.asarray(s1.particles.x)))
     assert int(m["viscosity_iters"]) == 0  # no CG in pure unet mode
+
+
+def test_coiling_scene_smoke():
+    """BASELINE config 5 geometry at a coarse resolution."""
+    from python_fluid_simulation_tpu.engine.scenes import (
+        coiling_config,
+        coiling_scene,
+    )
+    import dataclasses
+
+    cfg = coiling_config(res=24, mu=5.0)
+    cfg = dataclasses.replace(
+        cfg, solver=dataclasses.replace(cfg.solver, max_iter=300)
+    )
+    state = coiling_scene(cfg)
+    assert state.particles.x.shape[0] > 100
+    final, m = simulate(state, cfg, 3)
+    assert np.all(np.isfinite(np.asarray(final.particles.x)))
+    # viscous column starts falling
+    assert float(final.particles.v[:, 1].mean()) < 0.0
