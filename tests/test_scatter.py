@@ -1,0 +1,111 @@
+"""Direct oracles for the sort-based scatter engine (ops/scatter.py) —
+the TPU replacement for the reference's CUDA atomics."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from python_fluid_simulation_tpu.ops.scatter import (
+    fold_clip,
+    fold_scattered,
+    home_ids_extended,
+    segment_min_sorted,
+    segment_sum_sorted,
+    sort_by_segment,
+)
+
+
+def test_segment_sum_matches_bincount():
+    rng = np.random.default_rng(0)
+    k, m = 1000, 50
+    ids = rng.integers(0, m, k).astype(np.int32)
+    vals = rng.standard_normal((k, 3)).astype(np.float32)
+    sid, sval = sort_by_segment(jnp.asarray(ids), jnp.asarray(vals))
+    got = np.asarray(segment_sum_sorted(sval, sid, m))
+    want = np.zeros((m, 3), np.float32)
+    np.add.at(want, ids, vals)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_segment_sum_empty_segments_zero():
+    ids = jnp.asarray([2, 2, 5], jnp.int32)
+    vals = jnp.asarray([1.0, 2.0, 4.0])
+    got = np.asarray(segment_sum_sorted(vals, ids, 8))
+    np.testing.assert_allclose(got, [0, 0, 3, 0, 0, 4, 0, 0])
+
+
+def test_segment_min_matches_oracle():
+    rng = np.random.default_rng(1)
+    k, m = 800, 40
+    ids = np.sort(rng.integers(0, m, k).astype(np.int32))
+    vals = rng.standard_normal((k, 5)).astype(np.float32)
+    got = np.asarray(
+        segment_min_sorted(jnp.asarray(vals), jnp.asarray(ids), m, 99.0)
+    )
+    want = np.full((m, 5), 99.0, np.float32)
+    for s in range(m):
+        sel = vals[ids == s]
+        if len(sel):
+            want[s] = sel.min(axis=0)
+    np.testing.assert_allclose(got, want)
+
+
+def test_fold_clip_add_oracle():
+    rng = np.random.default_rng(2)
+    src = rng.standard_normal((7, 6, 5)).astype(np.float32)
+    for shifts in [(-1, 0, 1), (2, -2, 0), (0, 0, 0)]:
+        out_shape = (5, 6, 5)
+        got = np.asarray(
+            fold_clip(jnp.asarray(src), shifts, out_shape, "add", 0.0)
+        )
+        want = np.zeros(out_shape, np.float32)
+        for i in range(src.shape[0]):
+            for j in range(src.shape[1]):
+                for kk in range(src.shape[2]):
+                    t = (
+                        min(max(i + shifts[0], 0), out_shape[0] - 1),
+                        min(max(j + shifts[1], 0), out_shape[1] - 1),
+                        min(max(kk + shifts[2], 0), out_shape[2] - 1),
+                    )
+                    want[t] += src[i, j, kk]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_fold_clip_min_oracle():
+    rng = np.random.default_rng(3)
+    src = rng.standard_normal((6, 6)).astype(np.float32)
+    got = np.asarray(fold_clip(jnp.asarray(src), (-2, 1), (6, 6), "min", 9.0))
+    want = np.full((6, 6), 9.0, np.float32)
+    for i in range(6):
+        for j in range(6):
+            t = (min(max(i - 2, 0), 5), min(max(j + 1, 0), 5))
+            want[t] = min(want[t], src[i, j])
+    np.testing.assert_allclose(got, want)
+
+
+def test_fold_scattered_equals_per_corner_folds():
+    rng = np.random.default_rng(4)
+    src = rng.standard_normal((6, 6, 6, 4)).astype(np.float32)
+    shifts = [(0, 0, 0), (1, 0, 0), (0, -1, 0), (1, 1, -1)]
+    out_shape = (6, 6, 6)
+    got = np.asarray(
+        fold_scattered(jnp.asarray(src), shifts, out_shape, "add", 0.0)
+    )
+    want = np.zeros(out_shape, np.float32)
+    for kk, sh in enumerate(shifts):
+        want += np.asarray(
+            fold_clip(jnp.asarray(src[..., kk]), sh, out_shape, "add", 0.0)
+        )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_home_ids_extended_covers_out_of_range():
+    gi = jnp.asarray([[-1, 0, 3], [2, 3, -1], [3, 3, 3]], jnp.int32)
+    ids, ext = home_ids_extended(gi, (3, 3, 3))
+    assert ext == (5, 5, 5)
+    got = np.asarray(ids)
+    # manual: (gi+1) clipped to [0, 4] then row-major over (5,5,5)
+    want = []
+    for row in np.asarray(gi):
+        g = np.clip(row + 1, 0, 4)
+        want.append((g[0] * 5 + g[1]) * 5 + g[2])
+    np.testing.assert_array_equal(got, want)
