@@ -90,6 +90,11 @@ def export_html_replay(series: Dict[float, np.ndarray], path: str) -> int:
     frames = np.stack(
         [np.asarray(series[t], dtype=np.float32)[:n] for t in times]
     )
+    if frames.shape[-1] == 2:  # 2D series: embed in the x/y plane
+        frames = np.concatenate(
+            [frames[..., :1], np.zeros_like(frames[..., :1]), frames[..., 1:]],
+            axis=-1,
+        )
     center = frames.reshape(-1, 3).mean(axis=0)
     scale = float(
         np.abs(frames.reshape(-1, 3) - center).max() + 1e-6

@@ -163,3 +163,12 @@ def test_cli_resume_roundtrip(tmp_path):
     from python_fluid_simulation_tpu.utils.checkpoint import latest_step
 
     assert latest_step(os.path.join(out1, "ckpt")) == 4
+
+
+def test_html_replay_export_2d(tmp_path):
+    from python_fluid_simulation_tpu.utils.viewer import export_html_replay
+
+    rng = np.random.default_rng(1)
+    series = {0.0: rng.random((30, 2)).astype(np.float32)}
+    path = str(tmp_path / "r2.html")
+    assert export_html_replay(series, path) == 1
