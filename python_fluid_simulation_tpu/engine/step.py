@@ -68,6 +68,14 @@ def step_3d(
     sol = cfg.solver
     p = state.particles
     sphi, sv = state.solid.phi, state.solid.v
+    # split the static solid fields into parity classes ONCE per step:
+    # strided (::2) slices of the 49M-site dual lattice relayout on TPU
+    # and were re-done by every consumer (boundary, viscosity, fractions,
+    # pressure RHS/apply, fix_volume)
+    from python_fluid_simulation_tpu.ops.indexing import split_parity
+
+    sphi_c = split_parity(sphi, 3)
+    sv_c = [split_parity(sv[..., comp], 3) for comp in range(3)]
 
     # -- dt selection (cell 13 :4572-4576)
     if cfg.dt_mode == "cfl":
@@ -86,7 +94,7 @@ def step_3d(
 
     # -- solid fractions (computed once; density computes them and the
     #    pressure solve reuses them, cell 13 :4648 / solve :314)
-    w_faces = compute_solid_frac_3d(sphi)
+    w_faces = compute_solid_frac_3d(sphi_c)
 
     # -- density/position projection (:4587-4590)
     lphi, lvol = _levelsets(px, cfg)
@@ -96,7 +104,7 @@ def step_3d(
         px,
         p.m,
         cfg.particle_dx ** 3,
-        sphi,
+        sphi_c,
         lphi,
         w_faces,
         g.bound_min,
@@ -148,7 +156,7 @@ def step_3d(
                     jnp.where(gm[2] > 0, gv[2] + dvz, gv[2]),
                 )
             vres = viscosity_solve_3d(
-                dt, ph.mu, ph.rho, v_in, sphi, lvol, g.cell_vol,
+                dt, ph.mu, ph.rho, v_in, sphi_c, lvol, g.cell_vol,
                 tol=sol.tol, rel_tol=sol.rel_tol, max_iter=sol.max_iter,
                 jacobi_precond=sol.jacobi_precond, use_pallas=sol.pallas,
             )
@@ -178,7 +186,7 @@ def step_3d(
 
     # -- pressure projection (:4648)
     pres = pressure_solve_3d(
-        tuple(gv), sv, lphi, w_faces, g.cell_size,
+        tuple(gv), sv_c, lphi, w_faces, g.cell_size,
         tol=sol.tol, rel_tol=sol.rel_tol, max_iter=sol.max_iter,
         jacobi_precond=sol.jacobi_precond,
         dt_scale=(dt if sol.pressure_dt_scaled else None),
@@ -192,7 +200,7 @@ def step_3d(
         gv[a], _ = extrapolate(gv[a], gm[a] > 0, 2)
 
     # -- boundary conditions (:4655)
-    gv = list(apply_boundary_condition(gv, gm, sphi, sv, g.dx))
+    gv = list(apply_boundary_condition(gv, gm, sphi_c, sv_c, g.dx))
 
     # -- G2P (:4660)
     pv_cols, pc_rows = [], []

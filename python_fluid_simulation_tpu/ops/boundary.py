@@ -100,7 +100,10 @@ def apply_boundary_condition(
     """Returns the corrected face velocities (g.v += g.dv, cell 5 :436-441)."""
     d = len(gv)
     sphi_c = split_parity(sphi, d)
-    sv_c = [split_parity(sv[..., comp], d) for comp in range(d)]
+    sv_c = (
+        list(sv) if isinstance(sv, (list, tuple))
+        else [split_parity(sv[..., comp], d) for comp in range(d)]
+    )
     out = []
     for a in range(d):
         dv = boundary_dv_axis(a, gv, gm, sphi_c, sv_c, dx)

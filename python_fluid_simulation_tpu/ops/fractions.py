@@ -101,7 +101,10 @@ def compute_solid_frac_3d(sphi: jnp.ndarray):
     Args:   sphi (2nx+1, 2ny+1, 2nz+1)
     Returns wx (nx+1,ny,nz), wy (nx,ny+1,nz), wz (nx,ny,nz+1)
     """
-    nodes = parity_view(sphi, P3_NODE)  # (nx+1, ny+1, nz+1)
+    nodes = (
+        sphi[P3_NODE] if isinstance(sphi, dict)
+        else parity_view(sphi, P3_NODE)
+    )  # (nx+1, ny+1, nz+1)
     nx, ny, nz = (s - 1 for s in nodes.shape)
 
     def corner(i, j, k):  # sphi[2x+2i, 2y+2j, 2z+2k] over cells (nx,ny,nz)

@@ -60,6 +60,8 @@ def split_parity(dual: jnp.ndarray, ndim: int | None = None):
     """
     import itertools as _it
 
+    if isinstance(dual, dict):  # already split
+        return dual
     d = ndim or dual.ndim
     return {
         p: parity_view(dual, p) for p in _it.product((0, 1), repeat=d)

@@ -39,6 +39,7 @@ def compute_fluid_levelset(
     the particle's 5^d-cell neighbourhood with border clamping (:270-288).
     """
     from python_fluid_simulation_tpu.ops.scatter import (
+        channels_first,
         fold_scattered,
         segment_min_sorted,
         sort_by_segment,
@@ -56,23 +57,31 @@ def compute_fluid_levelset(
 
     background = jnp.asarray(3.0 * gdx, px.dtype)
     offsets = list(itertools.product(range(-2, 3), repeat=d))
+
+    # sort particles by home cell FIRST (gathering only the (N,d)
+    # positions/ids), then build the 5^d distance channels from the
+    # sorted data — reordering a prebuilt (N,125) channel matrix was the
+    # dominant cost at 128^3-class particle counts
+    idx = _flat_index(gi, res)
+    sorted_ids, px_s, gi_s = sort_by_segment(idx, px, gi)
+
     # distance channels computed axis-by-axis in (N, 5^d) layout — pure
     # 2D arrays whose lane dim pads 125 -> 128 (a per-offset norm loop
-    # creates (N,1) temporaries that tile 128x on TPU and OOM'd HBM at
-    # 128^3-class particle counts); the reference clamps the target cell
-    # before measuring the distance (cell 4 :281-284)
+    # creates (N,1) temporaries that tile 128x on TPU and OOM'd HBM);
+    # the reference clamps the target cell before measuring the distance
+    # (cell 4 :281-284)
     n = px.shape[0]
     n_off = len(offsets)
     offs_arr = jnp.asarray(offsets, jnp.int32)  # (5^d, d)
     dist2 = None
     for ax in range(d):
         gii_ax = jnp.clip(
-            jnp.broadcast_to(gi[:, ax][:, None], (n, n_off))
+            jnp.broadcast_to(gi_s[:, ax][:, None], (n, n_off))
             + offs_arr[None, :, ax],
             0,
             int(res[ax]) - 1,
         )
-        pxb = jnp.broadcast_to(px[:, ax][:, None], (n, n_off))
+        pxb = jnp.broadcast_to(px_s[:, ax][:, None], (n, n_off))
         cd = (
             (gii_ax.astype(px.dtype) + 0.5) * cell_size[ax]
             + bound_min[ax]
@@ -81,15 +90,19 @@ def compute_fluid_levelset(
         dist2 = cd * cd if dist2 is None else dist2 + cd * cd
     vals = jnp.sqrt(dist2) - r  # (N, 5^d)
 
-    idx = _flat_index(gi, res)
-    sorted_ids, sorted_vals = sort_by_segment(idx, vals)
+    # materialization fences: without them XLA fuses the (N,125) channel
+    # computation into every consumer of the windowed-min passes and
+    # recomputes it repeatedly (measured 3.4x blowup of the whole op)
+    import jax
+
+    vals, sorted_ids = jax.lax.optimization_barrier((vals, sorted_ids))
+
     size = 1
     for s in res:
         size *= s
-    seg = segment_min_sorted(sorted_vals, sorted_ids, size, background)
-    seg = seg.reshape(*res, len(offsets))
-
-    return fold_scattered(seg, offsets, tuple(res), "min", background)
+    seg = segment_min_sorted(vals, sorted_ids, size, background)
+    seg_cf = channels_first(seg, tuple(res))
+    return fold_scattered(seg_cf, offsets, tuple(res), "min", background)
 
 
 def compute_fluid_volume(
@@ -106,6 +119,7 @@ def compute_fluid_volume(
     (constrain_fluid_volume_kernel :528-533).
     """
     from python_fluid_simulation_tpu.ops.scatter import (
+        channels_first,
         fold_scattered,
         home_ids_extended,
         segment_sum_sorted,
@@ -127,10 +141,10 @@ def compute_fluid_volume(
     for s in ext:
         size *= s
     seg = segment_sum_sorted(sorted_vals, sorted_ids, size)
-    seg = seg.reshape(*ext, len(corners))
+    seg_cf = channels_first(seg, ext)
 
     shifts = [tuple(o - 1 for o in offs) for offs in corners]
-    vol = fold_scattered(seg, shifts, tuple(dual_res), "add", 0.0)
+    vol = fold_scattered(seg_cf, shifts, tuple(dual_res), "add", 0.0)
     fine_vol = 1.0
     for c in fine_cell_size:
         fine_vol *= c

@@ -27,6 +27,8 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from python_fluid_simulation_tpu.ops.indexing import shift
+
 
 def sort_by_segment(ids: jnp.ndarray, *vals: jnp.ndarray):
     """Sort (ids, vals...) by ids. vals may be (K,) or (K, C)."""
@@ -85,24 +87,39 @@ def segment_min_sorted(
     sorted_ids: jnp.ndarray,
     num_segments: int,
     fill,
+    max_segment_log2: int = 8,
 ) -> jnp.ndarray:
-    """Per-segment minima of already-sorted values via a segmented scan.
+    """Per-segment minima of already-sorted values.
 
-    The combiner ((m1,s1),(m2,s2)) -> (s1==s2 ? min(m1,m2) : m2, s2) is
-    associative for sorted segment ids.
+    Windowed masked suffix-min: pass k folds vals[i+2^k] into vals[i]
+    when both belong to the same segment; after K passes the FIRST
+    element of each segment holds the min of its first 2^K elements.
+    Segments here are particles-per-cell — bounded by ~tens (the density
+    projection clamps compression at 1.5x, seeding is 2^d per cell), so
+    K=8 (exact for <=256/cell) costs 8 memory passes instead of the
+    log2(N)≈19 a global associative_scan needs.
     """
+    K = max_segment_log2
+    ids = sorted_ids
+    for k in range(K):
+        s = 1 << k
+        nvals = shift(vals, (s,) + (0,) * (vals.ndim - 1), fill)
+        nids = shift(ids, (s,), -1)
+        same = _bcast(nids == ids, vals)
+        vals = jnp.where(same, jnp.minimum(vals, nvals), vals)
+    first, _ = _segment_marks(sorted_ids)
+    return _place_at_first(vals, sorted_ids, first, num_segments, fill)
 
-    def combine(a, b):
-        m1, s1 = a
-        m2, s2 = b
-        take = _bcast(s1 == s2, m1)
-        return jnp.where(take, jnp.minimum(m1, m2), m2), s2
 
-    # ids stay (K,) in the scan carry; the combiner broadcasts the
-    # (K',1) segment-equality mask over the value channels
-    mins, _ = jax.lax.associative_scan(combine, (vals, sorted_ids), axis=0)
-    _, last = _segment_marks(sorted_ids)
-    return _place_at_last(mins, sorted_ids, last, num_segments, fill)
+def _place_at_first(values, sorted_ids, first, num_segments, fill):
+    k = sorted_ids.shape[0]
+    slots = jnp.where(
+        first, sorted_ids, num_segments + jnp.arange(k, dtype=sorted_ids.dtype)
+    )
+    buf_shape = (num_segments + k,) + values.shape[1:]
+    buf = jnp.full(buf_shape, fill, values.dtype)
+    buf = buf.at[slots].set(values, unique_indices=True)
+    return buf[:num_segments]
 
 
 def _bcast(cond, like):
@@ -139,25 +156,27 @@ def fold_scattered(
 ) -> jnp.ndarray:
     """Combine per-corner segment grids onto clipped targets in ONE fold.
 
-    seg: (G..., K) — K corner channels on a common source grid; channel k
-    contributes to target u = grid_index + shifts[k] (un-clipped), and the
-    final cell is t = clip(u, 0, out_n-1).  All channels accumulate on a
-    target-extended grid first (pure pad+slice), then a single `fold_clip`
-    resolves the border clamping — keeping the HLO graph ~K× smaller than
-    folding each corner separately.
+    seg: (K, G...) — K corner channels LEADING (slicing a minor/lane
+    channel dim costs a relayout per channel on TPU — measured 16x
+    blowup of this op); channel k contributes to target
+    u = grid_index + shifts[k] (un-clipped), and the final cell is
+    t = clip(u, 0, out_n-1).  All channels accumulate on a
+    target-extended grid first (pure pad+slice), then a single
+    `fold_clip` resolves the border clamping — keeping the HLO graph
+    ~K× smaller than folding each corner separately.
     """
     d = len(out_shape)
     min_s = [min(s[a] for s in shifts) for a in range(d)]
     max_s = [max(s[a] for s in shifts) for a in range(d)]
     T = tuple(
-        seg.shape[a] + max_s[a] - min_s[a] for a in range(d)
+        seg.shape[1 + a] + max_s[a] - min_s[a] for a in range(d)
     )
     from python_fluid_simulation_tpu.ops.indexing import sample
 
     acc = None
     for k, s in enumerate(shifts):
         off = tuple(min_s[a] - s[a] for a in range(d))
-        piece = sample(seg[..., k], off, T, fill)
+        piece = sample(seg[k], off, T, fill)
         if acc is None:
             acc = piece
         elif combine == "add":
@@ -165,6 +184,13 @@ def fold_scattered(
         else:
             acc = jnp.minimum(acc, piece)
     return fold_clip(acc, tuple(min_s), out_shape, combine, fill)
+
+
+def channels_first(seg_mc: jnp.ndarray, grid_shape: Sequence[int]) -> jnp.ndarray:
+    """(M, C) segment table -> (C, *grid_shape) channel-major grids."""
+    return jnp.moveaxis(seg_mc, -1, 0).reshape(
+        (seg_mc.shape[-1],) + tuple(grid_shape)
+    )
 
 
 def fold_clip(

@@ -73,6 +73,7 @@ def p2g_axis(
     Returns (gm, gv) of `face_shape`; gv already divided by mass.
     """
     from python_fluid_simulation_tpu.ops.scatter import (
+        channels_first,
         fold_scattered,
         home_ids_extended,
         segment_sum_sorted,
@@ -105,12 +106,12 @@ def p2g_axis(
     for s in ext:
         size *= s
     seg = segment_sum_sorted(sorted_vals, sorted_ids, size)
-    seg = seg.reshape(*ext, len(chans))
+    seg_cf = channels_first(seg, ext)
 
     base_shape = tuple(gres)
     shifts = [tuple(o - 1 for o in offs) for offs in corners]
-    gm = fold_scattered(seg[..., 0::2], shifts, base_shape, "add", 0.0)
-    gv_m = fold_scattered(seg[..., 1::2], shifts, base_shape, "add", 0.0)
+    gm = fold_scattered(seg_cf[0::2], shifts, base_shape, "add", 0.0)
+    gv_m = fold_scattered(seg_cf[1::2], shifts, base_shape, "add", 0.0)
     # place onto the face array: the trailing face plane never receives
     # mass (reference clamps corner indices to gres-1, cell 2 :128)
     pad = [(0, face_shape[i] - base_shape[i]) for i in range(d)]

@@ -54,6 +54,7 @@ def scatter_mass_volume(
     Reference: initialize_density_kernel (DensityCGSolver3D.py:8-36).
     """
     from python_fluid_simulation_tpu.ops.scatter import (
+        channels_first,
         fold_scattered,
         home_ids_extended,
         segment_sum_sorted,
@@ -77,11 +78,11 @@ def scatter_mass_volume(
     for s in ext:
         size *= s
     seg = segment_sum_sorted(sorted_vals, sorted_ids, size)
-    seg = seg.reshape(*ext, len(chans))
+    seg_cf = channels_first(seg, ext)
 
     shifts = [tuple(o - 1 for o in offs) for offs in corners]
-    gm = fold_scattered(seg[..., 0::2], shifts, tuple(gres), "add", 0.0)
-    gvol = fold_scattered(seg[..., 1::2], shifts, tuple(gres), "add", 0.0)
+    gm = fold_scattered(seg_cf[0::2], shifts, tuple(gres), "add", 0.0)
+    gvol = fold_scattered(seg_cf[1::2], shifts, tuple(gres), "add", 0.0)
     return gm, gvol
 
 

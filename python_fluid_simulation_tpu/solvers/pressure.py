@@ -39,6 +39,12 @@ def _ghost_frac(phi, nphi):
     return jnp.clip(phi / safe, *_GHOST_CLIP)
 
 
+def _sv_component(sv, a):
+    """sv is either the raw (dual..., d) array or a per-component list of
+    pre-split parity-class dicts (one strided split per step, reused)."""
+    return sv[a] if isinstance(sv, (list, tuple)) else sv[..., a]
+
+
 def _face_w_v(arrs, axis, side, cell_shape):
     """Face-array value seen from cells: side=+1 the high face (idx+1),
     side=-1 the low face (idx)."""
@@ -73,7 +79,7 @@ def pressure_rhs_3d(
             # sv sampled at the face site, e.g. sv[2x+2, 2y+1, 2z+1, 0]
             off = [0] * d
             off[a] = side
-            svf = dual_sample(sv[..., a], (1,) * d, tuple(off), shape, 0.0)
+            svf = dual_sample(_sv_component(sv, a), (1,) * d, tuple(off), shape, 0.0)
             b = b - jnp.where(w < 1, sgn * w * svf / h, 0.0)
     active = interior_mask(shape) & (lphi < 0)
     return jnp.where(active, b, 0.0)
@@ -164,7 +170,7 @@ def apply_pressure_3d(
         theta = jnp.clip(edge_in_fraction(phi_c, phi_m), *_GHOST_CLIP)
         new_v = v_faces[a] + (p_c - p_m) * cell_size[a] / theta
         w = w_faces[a]
-        svf = dual_sample(sv[..., a], face_parity(a, d), (0,) * d, fshape, 0.0)
+        svf = dual_sample(_sv_component(sv, a), face_parity(a, d), (0,) * d, fshape, 0.0)
         blended = w * new_v + (1.0 - w) * svf
         active = (
             interior_mask(fshape, active_hi=gres)

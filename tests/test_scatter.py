@@ -84,7 +84,7 @@ def test_fold_clip_min_oracle():
 
 def test_fold_scattered_equals_per_corner_folds():
     rng = np.random.default_rng(4)
-    src = rng.standard_normal((6, 6, 6, 4)).astype(np.float32)
+    src = rng.standard_normal((4, 6, 6, 6)).astype(np.float32)
     shifts = [(0, 0, 0), (1, 0, 0), (0, -1, 0), (1, 1, -1)]
     out_shape = (6, 6, 6)
     got = np.asarray(
@@ -93,7 +93,7 @@ def test_fold_scattered_equals_per_corner_folds():
     want = np.zeros(out_shape, np.float32)
     for kk, sh in enumerate(shifts):
         want += np.asarray(
-            fold_clip(jnp.asarray(src[..., kk]), sh, out_shape, "add", 0.0)
+            fold_clip(jnp.asarray(src[kk]), sh, out_shape, "add", 0.0)
         )
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
