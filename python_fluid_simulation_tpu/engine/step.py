@@ -42,40 +42,68 @@ from python_fluid_simulation_tpu.state import Particles, SimState
 _FACE_BIAS = ((0.0, 0.5, 0.5), (0.5, 0.0, 0.5), (0.5, 0.5, 0.0))
 
 
-def _levelsets(px, cfg: SimConfig):
+def _levelsets(px, cfg: SimConfig, pm=None):
     g = cfg.grid
     lphi = compute_fluid_levelset(
-        px, g.res, g.bound_min, g.cell_size, g.dx
+        px, g.res, g.bound_min, g.cell_size, g.dx, pm=pm
     )
     pvol = cfg.particle_dx ** 3
     lvol = compute_fluid_volume(
-        px, pvol, g.dual_res, g.bound_min, g.dual_cell_size
+        px, pvol, g.dual_res, g.bound_min, g.dual_cell_size, pm=pm
     )
     return lphi, lvol
 
 
 def step_3d(
     state: SimState, cfg: SimConfig, unet_apply=None, unet_params=None,
-    capture_ml: bool = False,
+    capture_ml: bool = False, mesh=None,
 ) -> Tuple[SimState, Dict[str, jnp.ndarray]]:
     """One step.  With ``capture_ml`` the metrics include the learned-
     viscosity training pair captured around the CG solve — the engine-side
     equivalent of the reference's apic-mode ``ml_data`` dump (cell 13
     :4611-4630); use with python-loop stepping, not scan (the feature
-    boxes are large)."""
+    boxes are large).
+
+    With a ``mesh`` (jax.sharding.Mesh, 1 axis) the step runs spatially
+    decomposed: every grid field is slab-sharded along x via GSPMD
+    sharding constraints, and the three implicit solves run as explicit
+    shard_map PCG with ppermute halo exchanges + psum reductions
+    (SURVEY §2.4 — the reference is single-GPU, notebook cell 1 :80-82).
+    """
     g = cfg.grid
     ph = cfg.physics
     sol = cfg.solver
     p = state.particles
     sphi, sv = state.solid.phi, state.solid.v
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        _ax = mesh.axis_names[0]
+
+        def gshard(x):
+            return jax.lax.with_sharding_constraint(
+                x,
+                NamedSharding(
+                    mesh, PartitionSpec(_ax, *([None] * (x.ndim - 1)))
+                ),
+            )
+    else:
+
+        def gshard(x):
+            return x
+
     # split the static solid fields into parity classes ONCE per step:
     # strided (::2) slices of the 49M-site dual lattice relayout on TPU
     # and were re-done by every consumer (boundary, viscosity, fractions,
     # pressure RHS/apply, fix_volume)
     from python_fluid_simulation_tpu.ops.indexing import split_parity
 
-    sphi_c = split_parity(sphi, 3)
-    sv_c = [split_parity(sv[..., comp], 3) for comp in range(3)]
+    sphi_c = {k: gshard(v) for k, v in split_parity(sphi, 3).items()}
+    sv_c = [
+        {k: gshard(v) for k, v in split_parity(sv[..., comp], 3).items()}
+        for comp in range(3)
+    ]
 
     # -- dt selection (cell 13 :4572-4576)
     if cfg.dt_mode == "cfl":
@@ -97,7 +125,8 @@ def step_3d(
     w_faces = compute_solid_frac_3d(sphi_c)
 
     # -- density/position projection (:4587-4590)
-    lphi, lvol = _levelsets(px, cfg)
+    lphi, lvol = _levelsets(px, cfg, p.m)
+    lphi, lvol = gshard(lphi), gshard(lvol)
     dres = density_solve_3d(
         ph.rho,
         dt,
@@ -116,9 +145,11 @@ def step_3d(
         wz_bug=sol.density_wz_bug,
         use_pallas=sol.pallas,
         precond_kind=sol.precond,
+        mesh=mesh,
     )
     px = dres.px
-    lphi, lvol = _levelsets(px, cfg)
+    lphi, lvol = _levelsets(px, cfg, p.m)
+    lphi, lvol = gshard(lphi), gshard(lvol)
 
     # -- P2G (:4597-4604)
     gm, gv = [], []
@@ -130,8 +161,8 @@ def step_3d(
             px, p.m, p.v, p.c[:, a, :], a, g.res, fshape,
             _FACE_BIAS[a], g.bound_min, g.cell_size,
         )
-        gm.append(m_a)
-        gv.append(v_a)
+        gm.append(gshard(m_a))
+        gv.append(gshard(v_a))
 
     # -- gravity (:4608): applied to the whole y-face array
     gv[1] = gv[1] + ph.gravity * dt
@@ -159,6 +190,7 @@ def step_3d(
                 dt, ph.mu, ph.rho, v_in, sphi_c, lvol, g.cell_vol,
                 tol=sol.tol, rel_tol=sol.rel_tol, max_iter=sol.max_iter,
                 jacobi_precond=sol.jacobi_precond, use_pallas=sol.pallas,
+                mesh=mesh,
             )
             if capture_ml:
                 from python_fluid_simulation_tpu.models.train import (
@@ -192,8 +224,9 @@ def step_3d(
         dt_scale=(dt if sol.pressure_dt_scaled else None),
         use_pallas=sol.pallas,
         precond_kind=sol.precond,
+        mesh=mesh,
     )
-    gv = list(pres.v_faces)
+    gv = [gshard(v) for v in pres.v_faces]
 
     # -- extrapolate 2 iterations, valid = mass > 0 (:4652)
     for a in range(3):
@@ -234,39 +267,39 @@ def step_3d(
     return new_state, metrics
 
 
-def make_step(cfg: SimConfig, unet_apply=None, unet_params=None):
+def make_step(cfg: SimConfig, unet_apply=None, unet_params=None, mesh=None):
     """Jitted single step with a static config.
 
     UNet params are threaded as a jit ARGUMENT — capturing them in the
     closure would bake ~69M weights into the program as constants
     (hundreds of MB of MLIR; the remote-compile path rejects it)."""
 
-    @functools.partial(jax.jit, static_argnums=(2,))
-    def _step(state, params, apply_fn):
-        return step_3d(state, cfg, apply_fn, params)
+    @functools.partial(jax.jit, static_argnums=(2, 3))
+    def _step(state, params, apply_fn, mesh_):
+        return step_3d(state, cfg, apply_fn, params, mesh=mesh_)
 
     def step(state):
-        return _step(state, unet_params, unet_apply)
+        return _step(state, unet_params, unet_apply, mesh)
 
     return step
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def _simulate_jit(state, unet_params, cfg, num_steps, unet_apply):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _simulate_jit(state, unet_params, cfg, num_steps, unet_apply, mesh):
     def body(s, _):
-        return step_3d(s, cfg, unet_apply, unet_params)
+        return step_3d(s, cfg, unet_apply, unet_params, mesh=mesh)
 
     return jax.lax.scan(body, state, None, length=num_steps)
 
 
 def simulate(
     state: SimState, cfg: SimConfig, num_steps: int, unet_apply=None,
-    unet_params=None,
+    unet_params=None, mesh=None,
 ):
     """Roll `num_steps` under lax.scan; returns (final_state, metrics).
 
-    The jitted runner is module-level with (cfg, num_steps, unet_apply)
-    static, so repeated calls hit the jit cache (a per-call inner closure
-    would recompile the whole scan every time).
+    The jitted runner is module-level with (cfg, num_steps, unet_apply,
+    mesh) static, so repeated calls hit the jit cache (a per-call inner
+    closure would recompile the whole scan every time).
     """
-    return _simulate_jit(state, unet_params, cfg, num_steps, unet_apply)
+    return _simulate_jit(state, unet_params, cfg, num_steps, unet_apply, mesh)

@@ -31,12 +31,19 @@ def compute_fluid_levelset(
     bound_min: Sequence[float],
     cell_size: Sequence[float],
     gdx: float,
+    pm: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Union-of-balls SDF at cell centers.
 
     Reference (cell 4): background phi = 3*gdx; particle radius
     r = gdx * 0.5 * sqrt(d) * 1.02; scatter-min of |center - x_p| - r over
     the particle's 5^d-cell neighbourhood with border clamping (:270-288).
+
+    ``pm`` (optional particle masses) marks padding: zero-mass particles
+    contribute nothing (their distances are replaced by the background) —
+    the convention that makes DP-sharded particle arrays padddable
+    (parallel/mesh.shard_state).  The reference has no such notion (fixed
+    particle count, single GPU).
     """
     from python_fluid_simulation_tpu.ops.scatter import (
         channels_first,
@@ -63,7 +70,11 @@ def compute_fluid_levelset(
     # sorted data — reordering a prebuilt (N,125) channel matrix was the
     # dominant cost at 128^3-class particle counts
     idx = _flat_index(gi, res)
-    sorted_ids, px_s, gi_s = sort_by_segment(idx, px, gi)
+    if pm is None:
+        sorted_ids, px_s, gi_s = sort_by_segment(idx, px, gi)
+        pm_s = None
+    else:
+        sorted_ids, px_s, gi_s, pm_s = sort_by_segment(idx, px, gi, pm)
 
     # distance channels computed axis-by-axis in (N, 5^d) layout — pure
     # 2D arrays whose lane dim pads 125 -> 128 (a per-offset norm loop
@@ -89,6 +100,8 @@ def compute_fluid_levelset(
         )
         dist2 = cd * cd if dist2 is None else dist2 + cd * cd
     vals = jnp.sqrt(dist2) - r  # (N, 5^d)
+    if pm_s is not None:
+        vals = jnp.where(pm_s[:, None] > 0, vals, background)
 
     # materialization fences: without them XLA fuses the (N,125) channel
     # computation into every consumer of the windowed-min passes and
@@ -111,6 +124,7 @@ def compute_fluid_volume(
     dual_res: Sequence[int],
     bound_min: Sequence[float],
     fine_cell_size: Sequence[float],
+    pm: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Particle volume scattered onto the (2N+1)^d dual lattice, clamped.
 
@@ -132,8 +146,10 @@ def compute_fluid_volume(
     )
 
     corners = list(itertools.product((0, 1), repeat=d))
+    # zero-mass particles are padding (see compute_fluid_levelset)
+    pv = pvol if pm is None else pvol * (pm > 0)
     vals = jnp.stack(
-        [_corner_weight(w, offs) * pvol for offs in corners], axis=-1
+        [_corner_weight(w, offs) * pv for offs in corners], axis=-1
     )
     ids, ext = home_ids_extended(gi, dual_res)
     sorted_ids, sorted_vals = sort_by_segment(ids, vals)

@@ -143,7 +143,19 @@ def sharded_pressure_matvec_interior_oracle(w_faces, lphi):
     return matvec
 
 
-def sharded_cell_poisson_cg(
+def _pad_x(a, target: int, fill=0.0):
+    """Zero-pad (or fill-pad) an array along axis 0 to `target` planes."""
+    if a.shape[0] == target:
+        return a
+    pad = [(0, target - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return jnp.pad(a, pad, constant_values=fill)
+
+
+def _padded_extent(nx: int, n_devices: int) -> int:
+    return -(-nx // n_devices) * n_devices
+
+
+def distributed_cell_poisson(
     mesh: Mesh,
     b,
     diag,
@@ -160,15 +172,22 @@ def sharded_cell_poisson_cg(
     scalar psum reductions, the design SURVEY §2.4 calls for.
 
     b/diag/precond_diag and each coefficient field are cell-centred global
-    arrays (from pressure_coefficients / density_coefficients); x-extent
-    must divide the mesh.  Returns (x, iters, residual).
+    arrays (from pressure_coefficients / density_coefficients).  Arbitrary
+    x-extents are supported: fields are zero-padded along x to a multiple
+    of the mesh (pad rows carry diag=0/coef=0/precond=1 so the pad block
+    is an inert identity subsystem that stays exactly zero through CG).
+    Traceable — callable from inside an outer jit (the engine step).
+    Returns (x, iters, residual).
     """
     axis = mesh.axis_names[0]
     n = mesh.devices.size
     nx = b.shape[0]
-    assert nx % n == 0, "grid x-extent must divide the mesh"
+    X = _padded_extent(nx, n)
+    b_p = _pad_x(b, X)
+    diag_p = _pad_x(diag, X)
+    pd_p = _pad_x(precond_diag, X, fill=1.0)
     offs = tuple(off for off, _ in coefs)
-    coef_fields = [c for _, c in coefs]
+    coef_fields = [_pad_x(c, X) for _, c in coefs]
     n_coef = len(coef_fields)
 
     from python_fluid_simulation_tpu.ops.indexing import shift as _shift
@@ -220,18 +239,171 @@ def sharded_cell_poisson_cg(
         x, _, _, _, res, k, _ = jax.lax.while_loop(
             cond, body, (x0, z0, r0, z0, res0, jnp.int32(0), delta0)
         )
-        return x, k, res
+        return x, k, res, res0
 
     spec = P(axis, None, None)
     mapped = shard_map(
         local_solve,
         mesh=mesh,
         in_specs=(spec,) * (3 + n_coef),
-        out_specs=(spec, P(), P()),
+        out_specs=(spec, P(), P(), P()),
     )
+    x, k, res, res0 = mapped(b_p, diag_p, pd_p, *coef_fields)
+    if X != nx:
+        x = jax.lax.slice_in_dim(x, 0, nx, axis=0)
+    return x, k, res, res0
+
+
+def sharded_cell_poisson_cg(
+    mesh: Mesh,
+    b,
+    diag,
+    coefs,
+    precond_diag,
+    *,
+    tol: float = 1e-3,
+    rel_tol: float = 1e-3,
+    max_iter: int = 600,
+):
+    """Standalone (jit-wrapping) front-end of `distributed_cell_poisson`."""
 
     @jax.jit
     def solve():
-        return mapped(b, diag, precond_diag, *coef_fields)
+        return distributed_cell_poisson(
+            mesh, b, diag, coefs, precond_diag,
+            tol=tol, rel_tol=rel_tol, max_iter=max_iter,
+        )
 
-    return solve()
+    x, k, res, _ = solve()
+    return x, k, res
+
+
+def distributed_coupled_cg(
+    mesh: Mesh,
+    b_faces,
+    x0_faces,
+    diags,
+    per_axis_terms,
+    precond_diags,
+    *,
+    tol: float = 1e-3,
+    rel_tol: float = 1e-3,
+    max_iter: int = 600,
+):
+    """Distributed PCG for the coupled 3-field viscosity system.
+
+    The reference's hottest kernel (matvecmul_{x,y,z}_kernel,
+    ViscosityCGSolver3D.py:248-456) has no distributed counterpart — the
+    reference is single-GPU.  Here each device owns an x-slab of all three
+    staggered face arrays; one iteration is exactly THREE 1-plane halo
+    exchanges (vx, vy, vz of the search direction) + two scalar psums.
+    All cross-field term offsets have |Δx| ≤ 1 (the term table in
+    solvers/viscosity.py), so width-1 halos suffice.
+
+    Arguments are the materialised coefficient fields from
+    `viscosity_term_fields`: diags/precond_diags are per-axis face arrays,
+    per_axis_terms[a] is a list of (field, voff, coef) with coef shaped
+    like face a.  Face arrays have different global extents per axis
+    ((nx+1,ny,nz), (nx,ny+1,nz), (nx,ny,nz+1)); all are padded along x to
+    one common multiple of the mesh so the slabs align.  Traceable.
+    Returns (x_faces, iters, residual).
+    """
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    d = len(b_faces)
+    shapes = [v.shape for v in b_faces]
+    nx_max = max(s[0] for s in shapes)
+    X = _padded_extent(nx_max, n)
+
+    from python_fluid_simulation_tpu.ops.indexing import sample as _sample
+
+    b_p = tuple(_pad_x(v, X) for v in b_faces)
+    x0_p = tuple(_pad_x(v, X) for v in x0_faces)
+    diag_p = tuple(_pad_x(v, X) for v in diags)
+    pd_p = tuple(_pad_x(v, X, fill=1.0) for v in precond_diags)
+    # flatten the term coefficients into one arg list for shard_map
+    term_meta = []  # (a, field, voff)
+    term_coefs = []
+    for a in range(d):
+        for field, voff, coef in per_axis_terms[a]:
+            term_meta.append((a, field, tuple(int(o) for o in voff)))
+            term_coefs.append(_pad_x(coef, X))
+
+    def local_solve(*args):
+        bs = args[0:d]
+        x0s = args[d : 2 * d]
+        ds = args[2 * d : 3 * d]
+        pds = args[3 * d : 4 * d]
+        coefs_l = args[4 * d :]
+        nloc = bs[0].shape[0]
+        yz_shapes = [b.shape[1:] for b in bs]
+
+        def matvec(vs):
+            vhs = [halo_exchange(v, axis) for v in vs]
+            outs = [ds[a] * vs[a] for a in range(d)]
+            for (a, field, voff), c_l in zip(term_meta, coefs_l):
+                q = jax.lax.slice_in_dim(
+                    vhs[field], 1 + voff[0], 1 + voff[0] + nloc, axis=0
+                )
+                q = _sample(
+                    q, (0,) + voff[1:], (nloc,) + yz_shapes[a], 0.0
+                )
+                outs[a] = outs[a] + c_l * q
+            return tuple(outs)
+
+        def gdot(us, vs):
+            local = sum(
+                jnp.vdot(u, v, precision=jax.lax.Precision.HIGHEST)
+                for u, v in zip(us, vs)
+            )
+            return jax.lax.psum(local, axis)
+
+        q0 = matvec(x0s)
+        r0 = tuple(b - q for b, q in zip(bs, q0))
+        z0 = tuple(r / pdd for r, pdd in zip(r0, pds))
+        delta0 = gdot(r0, z0)
+        res0 = gdot(r0, r0)
+        thresh = jnp.maximum(
+            jnp.float32(tol) ** 2, jnp.float32(rel_tol) ** 2 * res0
+        )
+
+        def cond(c):
+            _, _, _, _, res, k, delta = c
+            return (res >= thresh) & (k < max_iter) & (delta != 0)
+
+        def body(c):
+            x, dd, r, z, res, k, delta = c
+            q = matvec(dd)
+            dq = gdot(dd, q)
+            alpha = jnp.where(dq != 0, delta / dq, 0.0)
+            x = tuple(xx + alpha * d_ for xx, d_ in zip(x, dd))
+            r = tuple(rr - alpha * qq for rr, qq in zip(r, q))
+            z = tuple(rr / pdd for rr, pdd in zip(r, pds))
+            nd = gdot(r, z)
+            nres = gdot(r, r)
+            beta = jnp.where(delta != 0, nd / delta, 0.0)
+            dd = tuple(zz + beta * d_ for zz, d_ in zip(z, dd))
+            return (x, dd, r, z, nres, k + 1, nd)
+
+        x, _, _, _, res, k, _ = jax.lax.while_loop(
+            cond, body, (x0s, z0, r0, z0, res0, jnp.int32(0), delta0)
+        )
+        return (*x, k, res, res0)
+
+    specs = tuple(
+        P(axis, *([None] * (v.ndim - 1)))
+        for v in (b_p + x0_p + diag_p + pd_p + tuple(term_coefs))
+    )
+    out_specs = tuple(
+        P(axis, *([None] * (v.ndim - 1))) for v in b_p
+    ) + (P(), P(), P())
+    mapped = shard_map(
+        local_solve, mesh=mesh, in_specs=specs, out_specs=out_specs
+    )
+    out = mapped(*b_p, *x0_p, *diag_p, *pd_p, *term_coefs)
+    xs, k, res, res0 = out[:d], out[d], out[d + 1], out[d + 2]
+    xs = tuple(
+        jax.lax.slice_in_dim(x, 0, s[0], axis=0) if x.shape[0] != s[0] else x
+        for x, s in zip(xs, shapes)
+    )
+    return xs, k, res, res0

@@ -42,17 +42,45 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_state(state, mesh: Mesh):
-    """Place a SimState for multi-device stepping: particles sharded,
-    geometry (solid level set, rb table) replicated — it is read-only and
-    small relative to HBM; sharding it would add halo traffic to every
-    dual-lattice sample."""
+def shard_state(state, mesh: Mesh, shard_grid: bool = True):
+    """Place a SimState for multi-device stepping: particles sharded
+    data-parallel along their leading dim; with ``shard_grid`` (default)
+    the solid dual lattices (phi/v, the largest persistent fields — 513³
+    per field at 256³) are slab-sharded along x so grid memory scales
+    with the mesh.  The tiny rigid-body table stays replicated."""
     ps = particle_sharding(mesh)
     rep = replicated(mesh)
-    particles = jax.tree.map(
-        lambda a: jax.device_put(a, ps), state.particles
-    )
-    solid = jax.tree.map(lambda a: jax.device_put(a, rep), state.solid)
+    particles = state.particles
+    n = particles.x.shape[0]
+    pad = (-n) % mesh.devices.size
+    if pad:
+        # zero-MASS padding particles are inert by engine convention
+        # (every scatter gates on m > 0, ops/levelset.py); position them
+        # on particle 0 so they stay in-domain as they advect along
+        import jax.numpy as jnp
+
+        particles = type(particles)(
+            x=jnp.concatenate(
+                [particles.x, jnp.broadcast_to(particles.x[:1], (pad,) + particles.x.shape[1:])]
+            ),
+            v=jnp.concatenate([particles.v, jnp.zeros((pad,) + particles.v.shape[1:], particles.v.dtype)]),
+            c=jnp.concatenate([particles.c, jnp.zeros((pad,) + particles.c.shape[1:], particles.c.dtype)]),
+            m=jnp.concatenate([particles.m, jnp.zeros((pad,), particles.m.dtype)]),
+        )
+    particles = jax.tree.map(lambda a: jax.device_put(a, ps), particles)
+    n_dev = mesh.devices.size
+    if shard_grid and state.solid.phi.shape[0] % n_dev == 0:
+        solid = type(state.solid)(
+            phi=jax.device_put(state.solid.phi, grid_sharding(mesh, state.solid.phi.ndim)),
+            v=jax.device_put(state.solid.v, grid_sharding(mesh, state.solid.v.ndim)),
+            rb=jax.device_put(state.solid.rb, rep),
+        )
+    else:
+        # device_put rejects non-divisible slab shardings (the dual
+        # lattice is (2N+1) — always odd); place replicated and let the
+        # step's with_sharding_constraint annotations shard it under jit
+        # (GSPMD pads uneven extents internally)
+        solid = jax.tree.map(lambda a: jax.device_put(a, rep), state.solid)
     return type(state)(
         particles=particles,
         solid=solid,

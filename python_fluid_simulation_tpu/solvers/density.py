@@ -65,11 +65,14 @@ def scatter_mass_volume(
     gi, _, w = _corner_setup(px, bound_min, cell_size, (0.5,) * d)
 
     corners = list(itertools.product((0, 1), repeat=d))
+    # zero-mass particles are DP-sharding padding and contribute no
+    # volume either (ops/levelset.compute_fluid_levelset docstring)
+    pv = pvol * (pm > 0)
     chans = []
     for offs in corners:
         weight = _corner_weight(w, offs)
         chans.append(weight * pm)
-        chans.append(weight * pvol * jnp.ones_like(pm))
+        chans.append(weight * pv)
     vals = jnp.stack(chans, axis=-1)
 
     ids, ext = home_ids_extended(gi, gres)
@@ -359,6 +362,7 @@ def density_solve_3d(
     wz_bug: bool = False,
     use_pallas: str = "auto",
     precond_kind: str = "jacobi",
+    mesh=None,
 ) -> DensityResult:
     """Full density projection; returns moved particle positions.
 
@@ -379,7 +383,7 @@ def density_solve_3d(
         tol=tol, rel_tol=rel_tol, max_iter=max_iter,
         jacobi_precond=jacobi_precond, use_pallas=use_pallas,
         wz_bug_coefs=density_coefficients(w_faces, lphi, wz_bug),
-        precond_kind=precond_kind,
+        precond_kind=precond_kind, mesh=mesh,
     )
     face_shapes = [
         tuple(n + (1 if i == a else 0) for i, n in enumerate(gres))

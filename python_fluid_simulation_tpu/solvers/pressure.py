@@ -261,6 +261,7 @@ def pressure_solve_3d(
     dt_scale: float | None = None,
     use_pallas: str = "auto",
     precond_kind: str = "jacobi",
+    mesh=None,
 ) -> PressureResult:
     """Full projection: RHS → CG → apply.
 
@@ -274,7 +275,7 @@ def pressure_solve_3d(
         b, w_faces, lphi,
         tol=tol, rel_tol=rel_tol, max_iter=max_iter,
         jacobi_precond=jacobi_precond, dt_scale=dt_scale,
-        use_pallas=use_pallas, precond_kind=precond_kind,
+        use_pallas=use_pallas, precond_kind=precond_kind, mesh=mesh,
     )
     new_v = apply_pressure_3d(v_faces, x, w_faces, sv, lphi, cell_size)
     return PressureResult(new_v, x, stats)
@@ -294,11 +295,15 @@ def solve_cell_poisson(
     use_pallas: str = "auto",
     wz_bug_coefs=None,
     precond_kind: str = "jacobi",
+    mesh=None,
 ):
     """Shared CG driver for the cell-centred ghost-fluid systems
-    (pressure & density).  Uses the single-kernel Pallas PCG (the whole
-    solve as one fused kernel, vectors VMEM-resident) when available,
-    else the generic on-device while_loop CG."""
+    (pressure & density).  With a ``mesh`` the solve runs as the
+    distributed shard_map PCG over x-slabs (1 halo exchange + 2 psums per
+    iteration, parallel/halo.py); single-device it uses the single-kernel
+    Pallas PCG (the whole solve as one fused kernel, vectors
+    VMEM-resident) when available, else the generic on-device
+    while_loop CG."""
     from python_fluid_simulation_tpu.solvers.cg import SolveStats
 
     d = lphi.ndim
@@ -309,6 +314,30 @@ def solve_cell_poisson(
             w_faces, lphi, unit_diag_weight
         )
     s = 1.0 if dt_scale is None else dt_scale
+
+    if mesh is not None and d == 3:
+        from python_fluid_simulation_tpu.parallel.halo import (
+            distributed_cell_poisson,
+        )
+
+        pd = precond_diag if jacobi_precond else jnp.ones_like(precond_diag)
+        x, iters, res, res0 = distributed_cell_poisson(
+            mesh,
+            s * b,
+            s * diag,
+            [(off, s * c) for off, c in coefs],
+            s * pd,
+            tol=tol,
+            rel_tol=rel_tol,
+            max_iter=max_iter,
+        )
+        thresh = jnp.maximum(
+            jnp.float32(tol) ** 2, jnp.float32(rel_tol) ** 2 * res0
+        )
+        return x, SolveStats(
+            iters=iters, residual=res, initial_residual=res0,
+            converged=res < thresh,
+        )
 
     if (
         d == 3

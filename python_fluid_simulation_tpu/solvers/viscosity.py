@@ -207,20 +207,19 @@ def viscosity_diag_3d(s_mu, sphi, vol, face_shapes, strict_fluid=False):
     return tuple(out)
 
 
-def prepare_viscosity_matvec(
+def viscosity_term_fields(
     s_mu,
     sphi: jnp.ndarray,
     vol: jnp.ndarray,
     face_shapes,
     strict_fluid: bool = False,
-    use_pallas: str = "auto",
 ):
     """Materialise the 14-term coefficient fields per axis once, so each
     CG iteration is 42 shift/multiply-adds on face arrays (the geometry
     samples of the big (2N+1)^d dual lattice are loop invariants).
 
-    Returns (matvec_fn, diag_tuple); matvec_fn matches
-    viscosity_matvec_3d.
+    Returns (diags, per_axis, pdiags) where per_axis[a] is a list of
+    (field, voff, coef) with coef shaped like face array a.
     """
     d = len(face_shapes)
     per_axis = []
@@ -248,6 +247,23 @@ def prepare_viscosity_matvec(
         per_axis.append(terms)
         diags.append(diag)
         pdiags.append(jnp.where(active & (diag_raw > 0), diag_raw, 1.0))
+    return diags, per_axis, pdiags
+
+
+def prepare_viscosity_matvec(
+    s_mu,
+    sphi: jnp.ndarray,
+    vol: jnp.ndarray,
+    face_shapes,
+    strict_fluid: bool = False,
+    use_pallas: str = "auto",
+):
+    """(matvec_fn, diag_tuple) from the materialised term fields;
+    matvec_fn matches viscosity_matvec_3d."""
+    d = len(face_shapes)
+    diags, per_axis, pdiags = viscosity_term_fields(
+        s_mu, sphi, vol, face_shapes, strict_fluid
+    )
 
     if d == 3 and use_pallas != "off":
         from python_fluid_simulation_tpu.ops.pallas_stencils import (
@@ -298,6 +314,7 @@ def viscosity_solve_3d(
     extrap_iters: int = 3,
     strict_fluid: bool = False,
     use_pallas: str = "auto",
+    mesh=None,
 ) -> ViscosityResult:
     """Full implicit viscosity solve.
 
@@ -333,26 +350,52 @@ def viscosity_solve_3d(
 
     b = viscosity_rhs_3d(ext, s_mu, sphi_c, vol_c, strict_fluid)
 
-    matvec, diag = prepare_viscosity_matvec(
-        s_mu, sphi_c, vol_c, [v.shape for v in v_faces], strict_fluid,
-        use_pallas=use_pallas,
-    )
+    if mesh is not None:
+        # distributed coupled solve: each device owns an x-slab of all
+        # three face arrays; 3 halo exchanges + 2 psums per iteration
+        from python_fluid_simulation_tpu.parallel.halo import (
+            distributed_coupled_cg,
+        )
 
-    precond = None
-    if jacobi_precond:
+        diags, per_axis, pdiags = viscosity_term_fields(
+            s_mu, sphi_c, vol_c, [v.shape for v in v_faces], strict_fluid
+        )
+        if not jacobi_precond:
+            pdiags = [jnp.ones_like(p) for p in pdiags]
+        x, iters, res, res0 = distributed_coupled_cg(
+            mesh, b, ext, diags, per_axis, pdiags,
+            tol=tol, rel_tol=rel_tol, max_iter=max_iter,
+        )
+        thresh = jnp.maximum(
+            jnp.float32(tol) ** 2, jnp.float32(rel_tol) ** 2 * res0
+        )
+        stats = SolveStats(
+            iters=iters,
+            residual=res,
+            initial_residual=res0,
+            converged=res < thresh,
+        )
+    else:
+        matvec, diag = prepare_viscosity_matvec(
+            s_mu, sphi_c, vol_c, [v.shape for v in v_faces], strict_fluid,
+            use_pallas=use_pallas,
+        )
 
-        def precond(rs):  # noqa: F811
-            return tuple(r / dd for r, dd in zip(rs, diag))
+        precond = None
+        if jacobi_precond:
 
-    x, stats = cg(
-        matvec,
-        b,
-        ext,
-        tol=tol,
-        rel_tol=rel_tol,
-        max_iter=max_iter,
-        precond=precond,
-    )
+            def precond(rs):  # noqa: F811
+                return tuple(r / dd for r, dd in zip(rs, diag))
+
+        x, stats = cg(
+            matvec,
+            b,
+            ext,
+            tol=tol,
+            rel_tol=rel_tol,
+            max_iter=max_iter,
+            precond=precond,
+        )
 
     out = []
     for a in range(d):

@@ -142,6 +142,146 @@ def test_gspmd_sharded_full_step():
     )
 
 
+@pytest.mark.slow
+def test_spatially_sharded_full_step():
+    """step_3d with mesh=: grid fields slab-sharded end-to-end, all three
+    implicit solves running as shard_map distributed PCG — matches the
+    single-device step (VERDICT item 2)."""
+    from python_fluid_simulation_tpu.config import (
+        GridConfig3D,
+        PhysicsConfig,
+        SimConfig,
+        SolverConfig,
+    )
+    from python_fluid_simulation_tpu.engine.scenes import dam_break_scene
+    from python_fluid_simulation_tpu.engine.step import make_step
+
+    cfg = SimConfig(
+        grid=GridConfig3D(
+            bound_min=(0.0, 0.0, 0.0),
+            bound_size=(1.0, 1.0, 1.0),
+            dx=1.0 / 8,
+        ),
+        physics=PhysicsConfig(mu=0.2, dt=1.0 / 60.0),
+        solver=SolverConfig(max_iter=200),
+        particle_dx=1.0 / 16,
+    )
+    state = dam_break_scene(cfg)
+    n = state.particles.x.shape[0]
+    mesh = make_mesh(8)
+    sharded = shard_state(state, mesh)  # pads particles with inert m=0
+    step_m = make_step(cfg, mesh=mesh)
+    out, metrics = step_m(sharded)
+    x = np.asarray(out.particles.x)
+    assert np.all(np.isfinite(x))
+    # a grid-solve phase actually iterated (pressure legitimately takes 0
+    # iterations on this uniformly-falling first step)
+    assert int(metrics["density_iters"]) > 0
+    # compare against unsharded execution (solver paths differ only by
+    # distribution; padding particles are inert by the m=0 convention)
+    step_s = make_step(cfg)
+    out1, _ = step_s(state)
+    np.testing.assert_allclose(
+        x[:n], np.asarray(out1.particles.x), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.particles.v)[:n],
+        np.asarray(out1.particles.v),
+        atol=2e-3,
+    )
+
+
+def test_distributed_pcg_nondividing_extent():
+    """x-extent NOT divisible by the mesh (pad path): 11 cells over 8
+    devices — the flagship 77x128x77 case class (VERDICT item 6)."""
+    from python_fluid_simulation_tpu.parallel.halo import (
+        sharded_cell_poisson_cg,
+    )
+    from python_fluid_simulation_tpu.solvers.pressure import (
+        pressure_coefficients,
+        pressure_rhs_3d,
+        solve_cell_poisson,
+    )
+
+    nn = (11, 8, 7)
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(7)
+    dual = tuple(2 * k + 1 for k in nn)
+    sphi = jnp.ones(dual, jnp.float32)
+    lphi_np = np.ones(nn, np.float32)
+    lphi_np[2:-2, 2:-2, 2:-2] = -1.0
+    lphi = jnp.asarray(lphi_np)
+    w = compute_solid_frac_3d(sphi)
+    shapes = [
+        tuple(k + (1 if i == a else 0) for i, k in enumerate(nn))
+        for a in range(3)
+    ]
+    v = tuple(
+        jnp.asarray(rng.standard_normal(s).astype(np.float32))
+        for s in shapes
+    )
+    sv = jnp.zeros(dual + (3,), jnp.float32)
+    b = pressure_rhs_3d(v, sv, lphi, w, (0.1,) * 3)
+    diag, coefs, pd = pressure_coefficients(w, lphi)
+
+    x_d, iters_d, res_d = sharded_cell_poisson_cg(
+        mesh, b, diag, coefs, pd, tol=1e-5, rel_tol=1e-5, max_iter=800
+    )
+    x_s, st = solve_cell_poisson(
+        b, w, lphi, tol=1e-5, rel_tol=1e-5, max_iter=800, use_pallas="off"
+    )
+    assert x_d.shape == x_s.shape
+    np.testing.assert_allclose(
+        np.asarray(x_d), np.asarray(x_s), rtol=2e-3, atol=2e-4
+    )
+
+
+def test_distributed_viscosity_matches_single_device():
+    """The distributed coupled 3-field CG (halo exchange of vx/vy/vz +
+    psum dots) reproduces the single-device viscosity solve (VERDICT
+    item 3; reference hot kernel ViscosityCGSolver3D.py:248-456)."""
+    from python_fluid_simulation_tpu.solvers.viscosity import (
+        viscosity_solve_3d,
+    )
+
+    nn = (10, 8, 7)  # deliberately non-dividing x-extent (faces: 11)
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(11)
+    dual = tuple(2 * k + 1 for k in nn)
+    # mixed solid/fluid geometry + positive control volumes
+    sphi = jnp.asarray(
+        rng.standard_normal(dual).astype(np.float32) + 0.5
+    )
+    lvol = jnp.asarray(
+        np.abs(rng.standard_normal(dual)).astype(np.float32) * 1e-4
+    )
+    shapes = [
+        tuple(k + (1 if i == a else 0) for i, k in enumerate(nn))
+        for a in range(3)
+    ]
+    v = tuple(
+        jnp.asarray(rng.standard_normal(s).astype(np.float32))
+        for s in shapes
+    )
+    kw = dict(
+        tol=1e-6, rel_tol=1e-6, max_iter=400, use_pallas="off",
+    )
+    res_s = viscosity_solve_3d(
+        1.0 / 60, 1.0, 1000.0, v, sphi, lvol, 0.1**3, **kw
+    )
+    res_d = viscosity_solve_3d(
+        1.0 / 60, 1.0, 1000.0, v, sphi, lvol, 0.1**3, mesh=mesh, **kw
+    )
+    assert abs(int(res_d.stats.iters) - int(res_s.stats.iters)) <= 3
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(res_d.v_faces[a]),
+            np.asarray(res_s.v_faces[a]),
+            rtol=5e-3,
+            atol=5e-4,
+        )
+
+
 def test_distributed_pcg_matches_single_device():
     """The full shard_map'd PCG (halo matvec + psum dots) reproduces the
     single-device solve."""
