@@ -44,6 +44,9 @@ def build_argparser():
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--resume", default=None)
     p.add_argument("--profile-dir", default=None)
+    p.add_argument("--mesh", type=int, default=0,
+                   help="shard the 3D step over an N-device mesh (grid "
+                        "slab-decomposed along x, distributed PCG solves)")
     return p
 
 
@@ -86,32 +89,62 @@ def main(argv=None):
                 res=int(round(1.2 / args.dx)) if args.dx else 256,
                 mu=(args.mu if args.mu is not None else 5.0),
             )
-            state = scenes.coiling_scene(cfg)
+            make_scene = scenes.coiling_scene
         elif args.scene == "buckling":
             cfg = scenes.buckling_config(
-                dx=args.dx or 0.0125, mu=(args.mu if args.mu is not None else 1.0)
+                dx=args.dx or 0.0125,
+                mu=(args.mu if args.mu is not None else 1.0),
             )
-            if args.viscosity_mode:
-                cfg = dataclasses.replace(
-                    cfg,
-                    solver=dataclasses.replace(
-                        cfg.solver, viscosity_mode=args.viscosity_mode
-                    ),
-                )
-            state = scenes.buckling_scene(cfg)
-        else:
-            state = scenes.dam_break_scene()
-            cfg = None  # default config baked into the scene helper
-            from python_fluid_simulation_tpu.config import SimConfig
+            make_scene = scenes.buckling_scene
+        else:  # dam_break
+            from python_fluid_simulation_tpu.config import (
+                GridConfig3D,
+                PhysicsConfig,
+                SimConfig,
+            )
 
-            cfg = SimConfig()
-            state = scenes.dam_break_scene(cfg)
+            dx = args.dx or 1.0 / 48
+            cfg = SimConfig(
+                grid=GridConfig3D(
+                    bound_min=(0.0, 0.0, 0.0),
+                    bound_size=(1.0, 1.0, 1.0),
+                    dx=dx,
+                ),
+                physics=PhysicsConfig(
+                    mu=(args.mu if args.mu is not None else 0.0)
+                ),
+                particle_dx=dx / 2,
+                duration=2.0,
+            )
+            make_scene = scenes.dam_break_scene
+        # solver-mode flags apply uniformly to every 3D scene
+        if args.viscosity_mode:
+            cfg = dataclasses.replace(
+                cfg,
+                solver=dataclasses.replace(
+                    cfg.solver, viscosity_mode=args.viscosity_mode
+                ),
+            )
+        state = make_scene(cfg)
         sim = simulate
     if args.resume:
         state, cfg, start = restore_checkpoint(args.resume)
         print(f"resumed from step {start}")
     if args.duration is not None and cfg is not None:
         cfg = dataclasses.replace(cfg, duration=args.duration)
+
+    mesh = None
+    if args.mesh and args.mesh > 1:
+        if sim is not simulate:
+            raise SystemExit("--mesh applies to 3D scenes only")
+        from python_fluid_simulation_tpu.parallel.mesh import (
+            make_mesh,
+            shard_state,
+        )
+
+        mesh = make_mesh(args.mesh)
+        state = shard_state(state, mesh)
+        print(f"spatially sharded over {args.mesh} devices")
 
     unet_apply = unet_params = None
     if cfg is not None and cfg.solver.viscosity_mode in ("unet", "unet_warm"):
@@ -153,7 +186,9 @@ def main(argv=None):
         while step_count < max_steps and float(state.t) < duration:
             n = min(args.block, max_steps - step_count)
             if sim is simulate:
-                state, metrics = sim(state, cfg, n, unet_apply, unet_params)
+                state, metrics = sim(
+                    state, cfg, n, unet_apply, unet_params, mesh
+                )
             else:
                 state, metrics = sim(state, cfg, n)
             jax.block_until_ready(state)

@@ -285,3 +285,245 @@ def test_viscosity_rhs_y_oracle():
                     b += s_mu * vk * vz[x, y - 1, z]
                 want[x, y, z] = b
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_viscosity_matvec_y_oracle():
+    """Loop transcription of matvecmul_y_kernel (ViscosityCGSolver3D.py
+    :318-386)."""
+    sphi, sv, lphi, v, shapes, rng = _rand(5)
+    vol = rng.random(DUAL).astype(np.float32)
+    s_mu = 0.31
+    got = viscosity_matvec_3d(
+        tuple(jnp.asarray(x) for x in v), s_mu, jnp.asarray(sphi),
+        jnp.asarray(vol),
+    )[1]
+    vx, vy, vz = v
+    want = np.zeros(shapes[1], np.float32)
+    S = sphi
+    for x in range(1, shapes[1][0] - 1):
+        for y in range(1, shapes[1][1] - 1):
+            for z in range(1, shapes[1][2] - 1):
+                if S[2 * x + 1, 2 * y, 2 * z + 1] < 0:
+                    continue
+                vc = vol[2 * x + 1, 2 * y, 2 * z + 1]
+                vt = vol[2 * x + 1, 2 * y + 1, 2 * z + 1]
+                vb = vol[2 * x + 1, 2 * y - 1, 2 * z + 1]
+                vr = vol[2 * x + 2, 2 * y, 2 * z + 1]
+                vl = vol[2 * x, 2 * y, 2 * z + 1]
+                vf = vol[2 * x + 1, 2 * y, 2 * z + 2]
+                vk = vol[2 * x + 1, 2 * y, 2 * z]
+                diag = vc + s_mu * (2 * vt + 2 * vb + vr + vl + vf + vk)
+                val = diag * vy[x, y, z]
+                if S[2 * x + 1, 2 * y + 2, 2 * z + 1] >= 0:
+                    val -= 2 * s_mu * vt * vy[x, y + 1, z]
+                if S[2 * x + 1, 2 * y - 2, 2 * z + 1] >= 0:
+                    val -= 2 * s_mu * vb * vy[x, y - 1, z]
+                if S[2 * x + 3, 2 * y, 2 * z + 1] >= 0:
+                    val -= s_mu * vr * vy[x + 1, y, z]
+                if S[2 * x - 1, 2 * y, 2 * z + 1] >= 0:
+                    val -= s_mu * vl * vy[x - 1, y, z]
+                if S[2 * x + 1, 2 * y, 2 * z + 3] >= 0:
+                    val -= s_mu * vf * vy[x, y, z + 1]
+                if S[2 * x + 1, 2 * y, 2 * z - 1] >= 0:
+                    val -= s_mu * vk * vy[x, y, z - 1]
+                if S[2 * x + 2, 2 * y + 1, 2 * z + 1] >= 0:
+                    val -= s_mu * vr * vx[x + 1, y, z]
+                if S[2 * x + 2, 2 * y - 1, 2 * z + 1] >= 0:
+                    val += s_mu * vr * vx[x + 1, y - 1, z]
+                if S[2 * x, 2 * y + 1, 2 * z + 1] >= 0:
+                    val += s_mu * vl * vx[x, y, z]
+                if S[2 * x, 2 * y - 1, 2 * z + 1] >= 0:
+                    val -= s_mu * vl * vx[x, y - 1, z]
+                if S[2 * x + 1, 2 * y + 1, 2 * z + 2] >= 0:
+                    val -= s_mu * vf * vz[x, y, z + 1]
+                if S[2 * x + 1, 2 * y - 1, 2 * z + 2] >= 0:
+                    val += s_mu * vf * vz[x, y - 1, z + 1]
+                if S[2 * x + 1, 2 * y + 1, 2 * z] >= 0:
+                    val += s_mu * vk * vz[x, y, z]
+                if S[2 * x + 1, 2 * y - 1, 2 * z] >= 0:
+                    val -= s_mu * vk * vz[x, y - 1, z]
+                want[x, y, z] = val
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_viscosity_matvec_z_oracle():
+    """Loop transcription of matvecmul_z_kernel (ViscosityCGSolver3D.py
+    :388-456) — completes the per-axis oracle matrix."""
+    sphi, sv, lphi, v, shapes, rng = _rand(6)
+    vol = rng.random(DUAL).astype(np.float32)
+    s_mu = 0.17
+    got = viscosity_matvec_3d(
+        tuple(jnp.asarray(x) for x in v), s_mu, jnp.asarray(sphi),
+        jnp.asarray(vol),
+    )[2]
+    vx, vy, vz = v
+    want = np.zeros(shapes[2], np.float32)
+    S = sphi
+    for x in range(1, shapes[2][0] - 1):
+        for y in range(1, shapes[2][1] - 1):
+            for z in range(1, shapes[2][2] - 1):
+                if S[2 * x + 1, 2 * y + 1, 2 * z] < 0:
+                    continue
+                vc = vol[2 * x + 1, 2 * y + 1, 2 * z]
+                vf = vol[2 * x + 1, 2 * y + 1, 2 * z + 1]
+                vk = vol[2 * x + 1, 2 * y + 1, 2 * z - 1]
+                vr = vol[2 * x + 2, 2 * y + 1, 2 * z]
+                vl = vol[2 * x, 2 * y + 1, 2 * z]
+                vt = vol[2 * x + 1, 2 * y + 2, 2 * z]
+                vb = vol[2 * x + 1, 2 * y, 2 * z]
+                diag = vc + s_mu * (2 * vf + 2 * vk + vr + vl + vt + vb)
+                val = diag * vz[x, y, z]
+                if S[2 * x + 1, 2 * y + 1, 2 * z + 2] >= 0:
+                    val -= 2 * s_mu * vf * vz[x, y, z + 1]
+                if S[2 * x + 1, 2 * y + 1, 2 * z - 2] >= 0:
+                    val -= 2 * s_mu * vk * vz[x, y, z - 1]
+                if S[2 * x + 3, 2 * y + 1, 2 * z] >= 0:
+                    val -= s_mu * vr * vz[x + 1, y, z]
+                if S[2 * x - 1, 2 * y + 1, 2 * z] >= 0:
+                    val -= s_mu * vl * vz[x - 1, y, z]
+                if S[2 * x + 1, 2 * y + 3, 2 * z] >= 0:
+                    val -= s_mu * vt * vz[x, y + 1, z]
+                if S[2 * x + 1, 2 * y - 1, 2 * z] >= 0:
+                    val -= s_mu * vb * vz[x, y - 1, z]
+                if S[2 * x + 2, 2 * y + 1, 2 * z + 1] >= 0:
+                    val -= s_mu * vr * vx[x + 1, y, z]
+                if S[2 * x + 2, 2 * y + 1, 2 * z - 1] >= 0:
+                    val += s_mu * vr * vx[x + 1, y, z - 1]
+                if S[2 * x, 2 * y + 1, 2 * z + 1] >= 0:
+                    val += s_mu * vl * vx[x, y, z]
+                if S[2 * x, 2 * y + 1, 2 * z - 1] >= 0:
+                    val -= s_mu * vl * vx[x, y, z - 1]
+                if S[2 * x + 1, 2 * y + 2, 2 * z + 1] >= 0:
+                    val -= s_mu * vt * vy[x, y + 1, z]
+                if S[2 * x + 1, 2 * y + 2, 2 * z - 1] >= 0:
+                    val += s_mu * vt * vy[x, y + 1, z - 1]
+                if S[2 * x + 1, 2 * y, 2 * z + 1] >= 0:
+                    val += s_mu * vb * vy[x, y, z]
+                if S[2 * x + 1, 2 * y, 2 * z - 1] >= 0:
+                    val -= s_mu * vb * vy[x, y, z - 1]
+                want[x, y, z] = val
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_density_matvec_oracle():
+    """Loop transcription of the density matvecmul_kernel
+    (DensityCGSolver3D.py:117-194): unit-weight diagonal, -w off-diagonal;
+    both the fixed -z face weight (default) and the reference's wz bug
+    (reads wz[x,y,z+1] for the -z face, :184)."""
+    from python_fluid_simulation_tpu.solvers.density import density_matvec
+
+    sphi, sv, lphi, v, shapes, rng = _rand(7)
+    w = [np.asarray(x) for x in compute_solid_frac_3d(jnp.asarray(sphi))]
+    p = rng.standard_normal(N).astype(np.float32)
+    for wz_bug in (False, True):
+        got = np.asarray(
+            density_matvec(
+                jnp.asarray(p), [jnp.asarray(x) for x in w],
+                jnp.asarray(lphi), wz_bug=wz_bug,
+            )
+        )
+        want = np.zeros(N, np.float32)
+        for x in range(1, N[0] - 1):
+            for y in range(1, N[1] - 1):
+                for z in range(1, N[2] - 1):
+                    phi = lphi[x, y, z]
+                    if phi >= 0:
+                        continue
+                    wz_minus = w[2][x, y, z + 1] if wz_bug else w[2][x, y, z]
+                    nbrs = [
+                        ((x + 1, y, z), w[0][x + 1, y, z]),
+                        ((x - 1, y, z), w[0][x, y, z]),
+                        ((x, y + 1, z), w[1][x, y + 1, z]),
+                        ((x, y - 1, z), w[1][x, y, z]),
+                        ((x, y, z + 1), w[2][x, y, z + 1]),
+                        ((x, y, z - 1), wz_minus),
+                    ]
+                    val, diag = 0.0, 0.0
+                    for nbr, ww in nbrs:
+                        nphi = lphi[nbr]
+                        if nphi < 0:
+                            val -= ww * p[nbr]
+                            diag += 1.0
+                        else:
+                            diag += 1.0 / _clip_frac(phi, nphi)
+                    want[x, y, z] = val + diag * p[x, y, z]
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_density_fix_volume_rhs_displacement_oracle():
+    """The density pipeline kernels vs their oracle3d transliterations
+    (fix_volume_kernel :38-84, initialize_solver_kernel :86-115,
+    compute_displacement_kernel :196-209, apply_displacement :211-238)."""
+    import oracle3d
+
+    from python_fluid_simulation_tpu.ops.indexing import split_parity
+    from python_fluid_simulation_tpu.solvers.density import (
+        apply_displacement,
+        compute_displacement,
+        density_rhs,
+        fix_volume,
+    )
+
+    rng = np.random.default_rng(8)
+    sphi = rng.standard_normal(DUAL).astype(np.float32)
+    lphi = rng.standard_normal(N).astype(np.float32)
+    gvol = (rng.random(N) * 1e-3).astype(np.float32)
+    gm = (rng.random(N) * 1e-2).astype(np.float32)
+    w = [np.asarray(x) for x in compute_solid_frac_3d(jnp.asarray(sphi))]
+    sphi_c = split_parity(jnp.asarray(sphi), 3)
+
+    got_fix = np.asarray(
+        fix_volume(
+            jnp.asarray(gvol), sphi_c, jnp.asarray(lphi),
+            [jnp.asarray(x) for x in w], H,
+        )
+    )
+    want_fix = oracle3d.fix_volume(
+        gvol.astype(np.float64), sphi.astype(np.float64),
+        lphi.astype(np.float64), [x.astype(np.float64) for x in w], H,
+    )
+    np.testing.assert_allclose(got_fix, want_fix, rtol=1e-4, atol=1e-6)
+
+    dt = 1.0 / 60
+    got_rhs = np.asarray(
+        density_rhs(
+            1000.0, dt, jnp.asarray(gm), jnp.asarray(got_fix),
+            jnp.asarray(lphi), [jnp.asarray(x) for x in w], H,
+        )
+    )
+    want_rhs = oracle3d.density_rhs(
+        1000.0, dt, gm.astype(np.float64), want_fix,
+        lphi.astype(np.float64), [x.astype(np.float64) for x in w], H,
+    )
+    np.testing.assert_allclose(got_rhs, want_rhs, rtol=1e-3, atol=1e-4)
+
+    p = rng.standard_normal(N).astype(np.float32)
+    fshapes = [
+        tuple(n + (1 if i == a else 0) for i, n in enumerate(N))
+        for a in range(3)
+    ]
+    got_disp = [
+        np.asarray(d)
+        for d in compute_displacement(jnp.asarray(p), jnp.asarray(lphi), dt, H, fshapes)
+    ]
+    want_disp = oracle3d.displacement(
+        p.astype(np.float64), lphi.astype(np.float64), dt, H
+    )
+    for a in range(3):
+        np.testing.assert_allclose(
+            got_disp[a], want_disp[a], rtol=1e-4, atol=1e-5
+        )
+
+    px = (rng.random((40, 3)) * np.array([0.45, 0.55, 0.45]) + 0.02).astype(
+        np.float32
+    )
+    got_px = np.asarray(
+        apply_displacement(
+            jnp.asarray(px), [jnp.asarray(d) for d in got_disp],
+            (0.0, 0.0, 0.0), H,
+        )
+    )
+    want_px = oracle3d.apply_displacement(
+        px.astype(np.float64), want_disp, (0.0, 0.0, 0.0), H
+    )
+    np.testing.assert_allclose(got_px, want_px, rtol=1e-4, atol=1e-5)
