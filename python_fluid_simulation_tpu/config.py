@@ -144,6 +144,9 @@ class SolverConfig:
     # 'mg' (geometric multigrid V-cycle; resolution-independent
     # iteration counts — the right choice at 128^3+)
     precond: str = "jacobi"
+    # preconditioner for the coupled viscosity solve: 'jacobi' or 'mg'
+    # (block-diagonal per-axis MG on the same-field sub-operator)
+    viscosity_precond: str = "jacobi"
     # Reference-bug compatibility switches (SURVEY §7 tracked list). False =
     # fixed behaviour (documented divergence), True = mimic the reference.
     density_wz_bug: bool = False

@@ -139,7 +139,9 @@ def scaled_buckling_config(res: int = 128, **kw) -> SimConfig:
     base = buckling_config(dx=1.0 / res, **kw)
     solver = base.solver
     if res >= 96:
-        solver = dataclasses.replace(solver, precond="mg", max_iter=200)
+        solver = dataclasses.replace(
+            solver, precond="mg", viscosity_precond="mg", max_iter=200
+        )
     return dataclasses.replace(
         base, particle_dx=0.5 / res, solver=solver
     )
@@ -165,7 +167,9 @@ def coiling_config(res: int = 256, mu: float = 5.0) -> SimConfig:
     )
     solver = base.solver
     if res >= 96:
-        solver = dataclasses.replace(solver, precond="mg", max_iter=200)
+        solver = dataclasses.replace(
+            solver, precond="mg", viscosity_precond="mg", max_iter=200
+        )
     return dataclasses.replace(base, solver=solver)
 
 

@@ -168,7 +168,15 @@ def make_mg_preconditioner(
         x = x + _prolong(ec, b.shape)
         return _smooth(level, x, b, n_smooth, omega)
 
+    active = levels[0].diag > 0
+
     def precond(r):
-        return vcycle(0, r)
+        # restrict M^{-1} to the active rows: prolongation injects parent
+        # corrections into zero-diagonal (inactive) rows, where A's row
+        # AND column are zero — x would drift there invisibly to the
+        # residual, and downstream consumers (apply masks wider than the
+        # CG-active set) would read the drift.  Identity on inactive rows
+        # keeps M symmetric positive definite.
+        return jnp.where(active, vcycle(0, r), r)
 
     return precond

@@ -250,6 +250,37 @@ def viscosity_term_fields(
     return diags, per_axis, pdiags
 
 
+def make_viscosity_mg_preconditioner(diags, per_axis):
+    """Block-diagonal multigrid preconditioner for the coupled system.
+
+    The preconditioner drops the cross-field couplings and runs one
+    Galerkin-MG V-cycle per axis on the same-field 7-point sub-operator
+    (diagonal blocks of an SPD matrix are SPD, and each is exactly the
+    stencil form solvers/multigrid.py coarsens).  The reference runs
+    unpreconditioned CG on this system (ViscosityCGSolver3D.py:588-612) —
+    its iteration counts grow with resolution; this keeps them ~flat,
+    which is what makes 128^3+ viscosity affordable (VERDICT round-1
+    item 9).
+    """
+    from python_fluid_simulation_tpu.solvers.multigrid import (
+        make_mg_preconditioner,
+    )
+
+    pres = []
+    for a in range(len(diags)):
+        same = [
+            (voff, coef)
+            for field, voff, coef in per_axis[a]
+            if field == a and sum(abs(o) for o in voff) == 1
+        ]
+        pres.append(make_mg_preconditioner(diags[a], same))
+
+    def precond(rs):
+        return tuple(pc(r) for pc, r in zip(pres, rs))
+
+    return precond
+
+
 def prepare_viscosity_matvec(
     s_mu,
     sphi: jnp.ndarray,
@@ -257,11 +288,12 @@ def prepare_viscosity_matvec(
     face_shapes,
     strict_fluid: bool = False,
     use_pallas: str = "auto",
+    fields=None,
 ):
     """(matvec_fn, diag_tuple) from the materialised term fields;
     matvec_fn matches viscosity_matvec_3d."""
     d = len(face_shapes)
-    diags, per_axis, pdiags = viscosity_term_fields(
+    diags, per_axis, pdiags = fields or viscosity_term_fields(
         s_mu, sphi, vol, face_shapes, strict_fluid
     )
 
@@ -315,6 +347,8 @@ def viscosity_solve_3d(
     strict_fluid: bool = False,
     use_pallas: str = "auto",
     mesh=None,
+    precond_kind: str = "jacobi",
+    warm_start=None,
 ) -> ViscosityResult:
     """Full implicit viscosity solve.
 
@@ -324,6 +358,13 @@ def viscosity_solve_3d(
     extrapolated field as the initial guess (warm start), and the solution
     is written back only at non-solid faces (apply_viscosity_kernel
     :458-470).
+
+    ``warm_start`` (optional face-array tuple, e.g. velocities corrected
+    by the learned operator's Δv prediction) replaces the CG initial
+    guess ONLY — the linear system itself (RHS, coefficients) is still
+    built from ``v_faces``, so the solve converges to the same solution,
+    just in fewer iterations when the guess is good (BASELINE config 4:
+    "warm-starting ViscosityCGSolver3D" with the UNet prediction).
     """
     d = len(v_faces)
     scale = dt / cell_vol / rho
@@ -338,15 +379,19 @@ def viscosity_solve_3d(
     sphi_c = split_parity(sphi, d)
     vol_c = split_parity(vol, d)
 
-    ext = []
-    for a in range(d):
-        if extrap_iters > 0:
-            valid = _is_fluid(sphi_c[face_parity(a, d)], strict_fluid)
-            v_e, _ = extrapolate(v_faces[a], valid, extrap_iters)
-        else:
-            v_e = v_faces[a]
-        ext.append(v_e)
-    ext = tuple(ext)
+    def _extrapolated(fields):
+        out = []
+        for a in range(d):
+            if extrap_iters > 0:
+                valid = _is_fluid(sphi_c[face_parity(a, d)], strict_fluid)
+                v_e, _ = extrapolate(fields[a], valid, extrap_iters)
+            else:
+                v_e = fields[a]
+            out.append(v_e)
+        return tuple(out)
+
+    ext = _extrapolated(v_faces)
+    x0 = _extrapolated(warm_start) if warm_start is not None else ext
 
     b = viscosity_rhs_3d(ext, s_mu, sphi_c, vol_c, strict_fluid)
 
@@ -363,7 +408,7 @@ def viscosity_solve_3d(
         if not jacobi_precond:
             pdiags = [jnp.ones_like(p) for p in pdiags]
         x, iters, res, res0 = distributed_coupled_cg(
-            mesh, b, ext, diags, per_axis, pdiags,
+            mesh, b, x0, diags, per_axis, pdiags,
             tol=tol, rel_tol=rel_tol, max_iter=max_iter,
         )
         thresh = jnp.maximum(
@@ -376,13 +421,20 @@ def viscosity_solve_3d(
             converged=res < thresh,
         )
     else:
+        fields = viscosity_term_fields(
+            s_mu, sphi_c, vol_c, [v.shape for v in v_faces], strict_fluid
+        )
         matvec, diag = prepare_viscosity_matvec(
             s_mu, sphi_c, vol_c, [v.shape for v in v_faces], strict_fluid,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, fields=fields,
         )
 
         precond = None
-        if jacobi_precond:
+        if precond_kind == "mg":
+            precond = make_viscosity_mg_preconditioner(
+                fields[0], fields[1]
+            )
+        elif jacobi_precond:
 
             def precond(rs):  # noqa: F811
                 return tuple(r / dd for r, dd in zip(rs, diag))
@@ -390,7 +442,7 @@ def viscosity_solve_3d(
         x, stats = cg(
             matvec,
             b,
-            ext,
+            x0,
             tol=tol,
             rel_tol=rel_tol,
             max_iter=max_iter,

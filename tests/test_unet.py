@@ -146,3 +146,28 @@ def test_build_unet_input_channels():
     # gradient of a constant embedded field: neighbours two apart are both
     # the constant -> lo - hi = 0
     np.testing.assert_allclose(np.asarray(x[0, ..., 0]), 0.0)
+
+
+def test_unet_bf16_compute_path():
+    """dtype=bfloat16 runs the conv stack in bf16 (MXU-native) with fp32
+    params and fp32 output, staying close to the fp32 reference — the
+    production inference configuration on TPU."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from python_fluid_simulation_tpu.models.unet3d import UNet3D
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 16, 11)).astype(np.float32))
+    m32 = UNet3D(width=4)
+    params = m32.init(jax.random.PRNGKey(0), x)
+    y32 = m32.apply(params, x)
+    m16 = UNet3D(width=4, dtype=jnp.bfloat16)
+    y16 = m16.apply(params, x)  # same fp32 params, bf16 compute
+    assert y16.dtype == jnp.float32  # output cast back
+    assert np.all(np.isfinite(np.asarray(y16)))
+    # bf16 has ~3 decimal digits; tanh keeps activations O(1)
+    np.testing.assert_allclose(
+        np.asarray(y16), np.asarray(y32), atol=0.05
+    )
