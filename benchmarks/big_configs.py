@@ -1,0 +1,94 @@
+"""BASELINE configs 3/5 on real hardware: 128^3-class buckling and the
+256-vertical coiling scene, fully fused under lax.scan (geometry hoisted).
+
+Writes artifacts/BENCH_BIG.json:
+  {"buckling_128": {...}, "coiling_256": {...}}
+with steps/s, ms/step and the per-solver CG iteration counts of the last
+benched step — the numbers VERDICT round-1 item 5 asked to be recorded
+(the reference cannot run these configs at all: single-GPU notebook,
+0.61 steps/s at 48x80x48, SURVEY §6).
+
+  python benchmarks/big_configs.py [--steps 10] [--out artifacts/BENCH_BIG.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def bench_scene(cfg, state, steps, warmup=2):
+    import jax
+
+    from python_fluid_simulation_tpu.engine.step import simulate
+
+    s_w, _ = simulate(state, cfg, steps)
+    jax.block_until_ready(s_w)
+    t0 = time.perf_counter()
+    s_f, metrics = simulate(state, cfg, steps)
+    jax.block_until_ready(s_f)
+    elapsed = time.perf_counter() - t0
+    last = {k: int(v[-1]) for k, v in metrics.items()
+            if k.endswith("_iters")}
+    return {
+        "grid": list(cfg.grid.res),
+        "particles": int(state.particles.x.shape[0]),
+        "steps": steps,
+        "steps_per_s": round(steps / elapsed, 4),
+        "ms_per_step": round(elapsed / steps * 1000, 2),
+        "precond": cfg.solver.precond,
+        "viscosity_precond": cfg.solver.viscosity_precond,
+        "pallas": cfg.solver.pallas,
+        "cg_iters_last_step": last,
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "artifacts", "BENCH_BIG.json"))
+    p.add_argument("--only", default=None,
+                   choices=[None, "buckling_128", "coiling_256"])
+    args = p.parse_args()
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    from python_fluid_simulation_tpu.engine import scenes
+
+    results = {}
+    if args.only in (None, "buckling_128"):
+        cfg = scenes.scaled_buckling_config(res=128)
+        state = scenes.buckling_scene(cfg)
+        results["buckling_128"] = bench_scene(cfg, state, args.steps)
+        print("buckling_128:", json.dumps(results["buckling_128"]))
+    if args.only in (None, "coiling_256"):
+        cfg = scenes.coiling_config(res=256)
+        state = scenes.coiling_scene(cfg)
+        results["coiling_256"] = bench_scene(cfg, state, args.steps)
+        print("coiling_256:", json.dumps(results["coiling_256"]))
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    existing = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            existing = json.load(f)
+    existing.update(results)
+    with open(args.out, "w") as f:
+        json.dump(existing, f, indent=2)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

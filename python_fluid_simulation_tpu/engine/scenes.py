@@ -133,15 +133,18 @@ def dam_break_scene(cfg: SimConfig | None = None, seed: int = 0) -> SimState:
 
 def scaled_buckling_config(res: int = 128, **kw) -> SimConfig:
     """BASELINE configs 3/5: the buckling scene scaled to res^3-class grids
-    (dx chosen so the tallest axis has `res` cells).  Large grids default
-    to the multigrid preconditioner (iteration counts stay ~flat with
-    resolution; Jacobi's grow linearly)."""
+    (dx chosen so the tallest axis has `res` cells).
+
+    Preconditioner default is Jacobi at every size: although multigrid
+    keeps iteration counts ~flat (10 vs ~80 pressure iterations at 128^3),
+    its V-cycle is a long chain of small sequential ops — latency-bound on
+    TPU — and measured end-to-end it LOSES 2.5x in wall clock at 128^3
+    (474 vs 1196 ms/step, benchmarks/mg_profile.py + 40-step scan,
+    TPU v5e).  MG stays available via SolverConfig(precond="mg")."""
     base = buckling_config(dx=1.0 / res, **kw)
     solver = base.solver
     if res >= 96:
-        solver = dataclasses.replace(
-            solver, precond="mg", viscosity_precond="mg", max_iter=200
-        )
+        solver = dataclasses.replace(solver, max_iter=600)
     return dataclasses.replace(
         base, particle_dx=0.5 / res, solver=solver
     )
@@ -151,7 +154,7 @@ def coiling_config(res: int = 256, mu: float = 5.0) -> SimConfig:
     """BASELINE config 5: high-viscosity coiling — a tall thin column of
     very viscous fluid falling onto the container floor (rope coiling).
     Domain 0.3 x 1.2 x 0.3 so `res` is the vertical cell count; large
-    grids default to MG preconditioning and are meant to shard over a
+    grids raise the CG iteration cap and are meant to shard over a
     mesh (parallel/)."""
     base = SimConfig(
         grid=GridConfig3D(
@@ -167,9 +170,8 @@ def coiling_config(res: int = 256, mu: float = 5.0) -> SimConfig:
     )
     solver = base.solver
     if res >= 96:
-        solver = dataclasses.replace(
-            solver, precond="mg", viscosity_precond="mg", max_iter=200
-        )
+        # Jacobi everywhere: see scaled_buckling_config's rationale
+        solver = dataclasses.replace(solver, max_iter=600)
     return dataclasses.replace(base, solver=solver)
 
 

@@ -233,6 +233,252 @@ def make_stencil_cg(
     return solve
 
 
+def _pad_sublanes(n: int) -> int:
+    return ((n + 7) // 8) * 8
+
+
+def _roll3(q, s, axis):
+    """out[..., i, ...] = q[..., i+s, ...] (wrapping); wrapped entries only
+    land where the boundary-masked coefficients are zero."""
+    if s == 0:
+        return q
+    return pltpu.roll(q, (-s) % q.shape[axis], axis)
+
+
+def _pick_bx(X, Yp, Zp, n_live, budget=_VMEM_BUDGET):
+    """Largest power-of-two x-block with the double-buffered operand set
+    under the VMEM budget."""
+    per_row = Yp * Zp * 4
+    bx = 1
+    while (
+        bx * 2 <= max(1, X)
+        and (bx * 2) * per_row * n_live * 2 <= budget
+        and bx * 2 <= 64
+    ):
+        bx *= 2
+    return bx
+
+
+def blocked_pallas_available(shape) -> bool:
+    """The blocked kernels stream x-slabs through VMEM — usable at any
+    grid size on a TPU backend (the full-VMEM kernels gate on residency)."""
+    if not _HAS_PALLAS:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    # one (1, Yp, Zp) row of every operand must fit; true up to ~512^2 yz
+    return _pad_sublanes(shape[1]) * _pad_lanes(shape[2]) * 4 * 2 * 60 < (
+        2 * _VMEM_BUDGET
+    )
+
+
+def _xshift_block(cur, prev_ref, next_ref, s, bx):
+    """x-shifted block rows: out[j] = global x-row (j + s) of the field,
+    pulling the boundary row from the neighbouring block."""
+    if s == 0:
+        return cur
+    if s == 1:
+        tail = next_ref[0:1]
+        return tail if bx == 1 else jnp.concatenate([cur[1:], tail], axis=0)
+    head = prev_ref[bx - 1 : bx]
+    return head if bx == 1 else jnp.concatenate([head, cur[:-1]], axis=0)
+
+
+def make_blocked_stencil_matvec(
+    diag: jnp.ndarray,
+    coefs: Sequence[Tuple[Tuple[int, int, int], jnp.ndarray]],
+):
+    """Grid-partitioned fused stencil matvec for fields too large for the
+    VMEM-resident kernel (VERDICT round-1 item 4: 128^3+).
+
+    Layout: native 3D (X, Yp, Zp) blocks of shape (bx, Yp, Zp) — y is the
+    sublane dim, z the lane dim, so ±1 stencil steps are sublane/lane
+    rolls at full tile efficiency.  Only x is blocked; each grid step
+    reads the previous/current/next x-slab of p (3x p traffic vs the XLA
+    path's one HBM read per shifted operand use, i.e. 7x) plus each
+    coefficient slab once.  Stencil x-offsets must be within ±1 (true for
+    the 7-point ghost-fluid operator).  Domain-boundary and padded rows
+    are safe because the solvers zero coefficients there.
+    """
+    X, Y, Z = diag.shape
+    Yp, Zp = _pad_sublanes(Y), _pad_lanes(Z)
+    n = len(coefs)
+    assert all(abs(off[0]) <= 1 for off, _ in coefs)
+    bx = _pick_bx(X, Yp, Zp, n_live=n + 7)
+    Xp = -(-X // bx) * bx
+    nblocks = Xp // bx
+
+    def pad3(a, fill=0.0):
+        return jnp.pad(
+            a,
+            ((0, Xp - X), (0, Yp - Y), (0, Zp - Z)),
+            constant_values=fill,
+        )
+
+    diag_p = pad3(diag)
+    offs = tuple(tuple(int(o) for o in off) for off, _ in coefs)
+    coef_ps = [pad3(c) for _, c in coefs]
+
+    def kernel(prev_ref, cur_ref, next_ref, diag_ref, *rest):
+        coef_refs = rest[:n]
+        out_ref = rest[n]
+        cur = cur_ref[:]
+        acc = diag_ref[:] * cur
+        xcache = {}
+        for off, cref in zip(offs, coef_refs):
+            sx = off[0]
+            if sx not in xcache:
+                xcache[sx] = _xshift_block(cur, prev_ref, next_ref, sx, bx)
+            q = xcache[sx]
+            if off[1]:
+                q = _roll3(q, off[1], 1)
+            if off[2]:
+                q = _roll3(q, off[2], 2)
+            acc = acc + cref[:] * q
+        out_ref[:] = acc
+
+    blk = (bx, Yp, Zp)
+
+    def spec(imap):
+        return pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM)
+
+    cur_spec = spec(lambda i: (i, 0, 0))
+    prev_spec = spec(lambda i: (jnp.maximum(i - 1, 0), 0, 0))
+    next_spec = spec(lambda i: (jnp.minimum(i + 1, nblocks - 1), 0, 0))
+
+    interpret = jax.default_backend() != "tpu"
+
+    def matvec(p):
+        p_p = pad3(p)
+        out = pl.pallas_call(
+            kernel,
+            grid=(nblocks,),
+            out_shape=jax.ShapeDtypeStruct((Xp, Yp, Zp), p.dtype),
+            in_specs=[prev_spec, cur_spec, next_spec]
+            + [cur_spec] * (1 + n),
+            out_specs=cur_spec,
+            interpret=interpret,
+        )(p_p, p_p, p_p, diag_p, *coef_ps)
+        return out[:X, :Y, :Z]
+
+    return matvec
+
+
+def make_blocked_coupled_matvec(diags, per_axis_terms, field_shapes):
+    """Grid-partitioned coupled 3-field viscosity matvec (the hot operator
+    at 128^3+, where the VMEM-resident coupled kernel cannot fit).
+
+    Same blocking scheme as make_blocked_stencil_matvec; all face arrays
+    are zero-padded onto one common (Xp, Yp, Zp) box.  Per grid step the
+    kernel reads 3 x-slabs of each of the 3 velocity fields plus one slab
+    of each coefficient — the XLA path reads a velocity field from HBM
+    once per term use (~15 reads per output axis).
+    """
+    F = len(diags)
+    common = tuple(max(s[i] for s in field_shapes) for i in range(3))
+    X, Y, Z = common
+    Yp, Zp = _pad_sublanes(Y), _pad_lanes(Z)
+    n_coefs = sum(len(t) for t in per_axis_terms)
+    # live set: F fields x 3 slabs + F diags + coefs + F outs + temporaries
+    bx = _pick_bx(X, Yp, Zp, n_live=3 * F + F + n_coefs + F + 4)
+    Xp = -(-X // bx) * bx
+    nblocks = Xp // bx
+
+    def pad3(a, fill=0.0):
+        return jnp.pad(
+            a,
+            (
+                (0, Xp - a.shape[0]),
+                (0, Yp - a.shape[1]),
+                (0, Zp - a.shape[2]),
+            ),
+            constant_values=fill,
+        )
+
+    diag_ps = [pad3(d) for d in diags]
+    coef_ps = []
+    table = []
+    for a in range(F):
+        entries = []
+        for field, off, coef in per_axis_terms[a]:
+            assert abs(off[0]) <= 1
+            entries.append((field, tuple(int(o) for o in off)))
+            coef_ps.append(pad3(coef))
+        table.append(tuple(entries))
+
+    def kernel(*refs):
+        # refs: [v_a prev/cur/next]*F, diag*F, coef*n, out*F
+        vs = [
+            (refs[3 * a], refs[3 * a + 1], refs[3 * a + 2])
+            for a in range(F)
+        ]
+        diag_refs = refs[3 * F : 4 * F]
+        coef_refs = refs[4 * F : 4 * F + n_coefs]
+        out_refs = refs[4 * F + n_coefs :]
+        curs = [vs[a][1][:] for a in range(F)]
+        xcache = {}
+
+        def get(field, sx):
+            key = (field, sx)
+            if key not in xcache:
+                prev_ref, _, next_ref = vs[field]
+                xcache[key] = _xshift_block(
+                    curs[field], prev_ref, next_ref, sx, bx
+                )
+            return xcache[key]
+
+        k = 0
+        for a in range(F):
+            acc = diag_refs[a][:] * curs[a]
+            for field, off in table[a]:
+                q = get(field, off[0])
+                if off[1]:
+                    q = _roll3(q, off[1], 1)
+                if off[2]:
+                    q = _roll3(q, off[2], 2)
+                acc = acc + coef_refs[k][:] * q
+                k += 1
+            out_refs[a][:] = acc
+
+    blk = (bx, Yp, Zp)
+
+    def spec(imap):
+        return pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM)
+
+    cur_spec = spec(lambda i: (i, 0, 0))
+    prev_spec = spec(lambda i: (jnp.maximum(i - 1, 0), 0, 0))
+    next_spec = spec(lambda i: (jnp.minimum(i + 1, nblocks - 1), 0, 0))
+
+    interpret = jax.default_backend() != "tpu"
+
+    def matvec(v_fields):
+        v_ps = [pad3(v) for v in v_fields]
+        ins = []
+        specs = []
+        for a in range(F):
+            ins += [v_ps[a], v_ps[a], v_ps[a]]
+            specs += [prev_spec, cur_spec, next_spec]
+        ins += diag_ps + coef_ps
+        specs += [cur_spec] * (F + n_coefs)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(nblocks,),
+            out_shape=[
+                jax.ShapeDtypeStruct((Xp, Yp, Zp), v_fields[0].dtype)
+                for _ in range(F)
+            ],
+            in_specs=specs,
+            out_specs=[cur_spec] * F,
+            interpret=interpret,
+        )(*ins)
+        return tuple(
+            o[: s[0], : s[1], : s[2]]
+            for o, s in zip(outs, field_shapes)
+        )
+
+    return matvec
+
+
 def _coupled_kernel(n_fields, term_table, diag_slots, refs):
     """refs: [v_0..v_{F-1}, diag_0..diag_{F-1}, coef_0.., out_0..out_{F-1}]"""
     vs = [refs[i][:] for i in range(n_fields)]

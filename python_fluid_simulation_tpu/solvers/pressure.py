@@ -225,12 +225,19 @@ def prepare_pressure_matvec(
 
     if d == 3 and use_pallas != "off":
         from python_fluid_simulation_tpu.ops.pallas_stencils import (
+            blocked_pallas_available,
+            make_blocked_stencil_matvec,
             make_stencil_matvec,
             pallas_available,
         )
 
-        if use_pallas == "on" or pallas_available(lphi.shape, 4):
+        if use_pallas == "on" or (
+            use_pallas != "blocked" and pallas_available(lphi.shape, 4)
+        ):
             return make_stencil_matvec(diag, coefs), precond_diag
+        # too big for the VMEM-resident kernel: stream x-slabs instead
+        if use_pallas == "blocked" or blocked_pallas_available(lphi.shape):
+            return make_blocked_stencil_matvec(diag, coefs), precond_diag
 
     def matvec(p):
         out = diag * p
@@ -365,11 +372,28 @@ def solve_cell_poisson(
                 converged=res < thresh,
             )
 
-    def matvec(p):
-        out = diag * p
-        for off, c in coefs:
-            out = out + c * shift(p, off, 0.0)
-        return s * out
+    blocked_mv = None
+    if d == 3 and use_pallas != "off":
+        from python_fluid_simulation_tpu.ops.pallas_stencils import (
+            blocked_pallas_available,
+            make_blocked_stencil_matvec,
+        )
+
+        if use_pallas == "blocked" or blocked_pallas_available(lphi.shape):
+            blocked_mv = make_blocked_stencil_matvec(diag, coefs)
+
+    if blocked_mv is not None:
+
+        def matvec(p):
+            return s * blocked_mv(p) if dt_scale is not None else blocked_mv(p)
+
+    else:
+
+        def matvec(p):
+            out = diag * p
+            for off, c in coefs:
+                out = out + c * shift(p, off, 0.0)
+            return s * out
 
     precond = None
     if precond_kind == "mg":

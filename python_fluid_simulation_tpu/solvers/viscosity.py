@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from python_fluid_simulation_tpu.ops.extrapolate import extrapolate
@@ -299,6 +300,8 @@ def prepare_viscosity_matvec(
 
     if d == 3 and use_pallas != "off":
         from python_fluid_simulation_tpu.ops.pallas_stencils import (
+            blocked_pallas_available,
+            make_blocked_coupled_matvec,
             make_coupled_stencil_matvec,
             pallas_available,
         )
@@ -307,9 +310,18 @@ def prepare_viscosity_matvec(
         # the coupled kernel holds all 14d coefficient operands + the d
         # fields + temporaries live (Mosaic does not reliably stream them
         # inside a scan body) — gate on the full set
-        if use_pallas == "on" or pallas_available(common, 16 * d + 8):
+        if use_pallas == "on" or (
+            use_pallas != "blocked" and pallas_available(common, 16 * d + 8)
+        ):
             return (
                 make_coupled_stencil_matvec(diags, per_axis, face_shapes),
+                tuple(pdiags),
+            )
+        # 128^3+: stream x-slabs through VMEM instead of falling back to
+        # the XLA shift/fma chain (VERDICT round-1 item 4)
+        if use_pallas == "blocked" or blocked_pallas_available(common):
+            return (
+                make_blocked_coupled_matvec(diags, per_axis, face_shapes),
                 tuple(pdiags),
             )
 
@@ -395,6 +407,30 @@ def viscosity_solve_3d(
 
     b = viscosity_rhs_3d(ext, s_mu, sphi_c, vol_c, strict_fluid)
 
+    def _rescaled_warm_start(matvec):
+        """One-shot residual line search along the predicted correction:
+        x0 = ext + α·(warm − ext) with α = ⟨r_ext, Ap⟩/⟨Ap, Ap⟩.
+
+        Learned Δv predictions tend to be direction-accurate but
+        amplitude-miscalibrated (a Tanh UNet trained on masked MSE
+        underpredicts magnitudes); the optimal scalar step along the
+        prediction fixes that for the cost of two extra matvecs and
+        guarantees the warm start never has a larger initial residual
+        than the cold start (α is a minimiser over a line through it)."""
+        p_dir = tuple(w - e for w, e in zip(x0, ext))
+        ap = matvec(p_dir)
+        r_ext = tuple(bb - q for bb, q in zip(b, matvec(ext)))
+        num = sum(
+            jnp.vdot(r, a, precision=jax.lax.Precision.HIGHEST)
+            for r, a in zip(r_ext, ap)
+        )
+        den = sum(
+            jnp.vdot(a, a, precision=jax.lax.Precision.HIGHEST)
+            for a in ap
+        )
+        alpha = jnp.where(den > 0, num / jnp.maximum(den, 1e-30), 0.0)
+        return tuple(e + alpha * p for e, p in zip(ext, p_dir))
+
     if mesh is not None:
         # distributed coupled solve: each device owns an x-slab of all
         # three face arrays; 3 halo exchanges + 2 psums per iteration
@@ -407,6 +443,24 @@ def viscosity_solve_3d(
         )
         if not jacobi_precond:
             pdiags = [jnp.ones_like(p) for p in pdiags]
+        if warm_start is not None:
+
+            def _plain_mv(vs):
+                out = []
+                for a in range(d):
+                    acc = diags[a] * vs[a]
+                    for field, voff, coef in per_axis[a]:
+                        from python_fluid_simulation_tpu.ops.indexing import (
+                            sample as _sample,
+                        )
+
+                        acc = acc + coef * _sample(
+                            vs[field], voff, vs[a].shape, 0.0
+                        )
+                    out.append(acc)
+                return tuple(out)
+
+            x0 = _rescaled_warm_start(_plain_mv)
         x, iters, res, res0 = distributed_coupled_cg(
             mesh, b, x0, diags, per_axis, pdiags,
             tol=tol, rel_tol=rel_tol, max_iter=max_iter,
@@ -439,6 +493,8 @@ def viscosity_solve_3d(
             def precond(rs):  # noqa: F811
                 return tuple(r / dd for r, dd in zip(rs, diag))
 
+        if warm_start is not None:
+            x0 = _rescaled_warm_start(matvec)
         x, stats = cg(
             matvec,
             b,

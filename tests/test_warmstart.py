@@ -58,20 +58,24 @@ def test_unet_warm_start_reduces_viscosity_iterations():
 
     # --- briefly train a narrow UNet on the captured pairs (in-sample —
     # demonstrating the mechanism, not generalisation)
-    model = UNet3D(width=4)
+    model = UNet3D(width=8)
 
     def epochs():
         while True:
             for p in pairs:
                 yield jax.tree.map(jnp.asarray, p)
 
-    params, losses = train(model, epochs(), num_steps=200, lr=5e-4,
+    # width 8 / 600 steps trains to ~0.01x the initial loss in-sample;
+    # a width-4/200-step model only halved the loss and its Δv prediction
+    # was ~3x under-scaled — direction-accurate (corr 0.9) but worth <1
+    # CG iteration, which made the iteration assert below flaky.
+    params, losses = train(model, epochs(), num_steps=600, lr=2e-3,
                            log_every=1000)
     # compare full example cycles (per-example losses differ; [-1] vs [0]
     # would compare different examples)
     first_cycle = float(np.mean(losses[: len(pairs)]))
     last_cycle = float(np.mean(losses[-len(pairs):]))
-    assert last_cycle < 0.5 * first_cycle, (first_cycle, last_cycle)
+    assert last_cycle < 0.2 * first_cycle, (first_cycle, last_cycle)
 
     # --- same step, cold vs warm: identical linear system, different x0
     eval_state = states[2]
