@@ -33,6 +33,8 @@ def build_argparser():
     p.add_argument("--viscosity-mode", default=None,
                    choices=["apic", "unet", "unet_warm"])
     p.add_argument("--ckpt", default=None, help="torch/orbax UNet weights")
+    p.add_argument("--unet-bf16", action="store_true",
+                   help="run UNet inference in bfloat16 (params fp32)")
     p.add_argument("--out", default="out")
     p.add_argument("--metrics", action="store_true")
     p.add_argument("--snapshot-pickle", action="store_true")
@@ -148,9 +150,15 @@ def main(argv=None):
 
     unet_apply = unet_params = None
     if cfg is not None and cfg.solver.viscosity_mode in ("unet", "unet_warm"):
+        import jax.numpy as _jnp
+
         from python_fluid_simulation_tpu.models.unet3d import UNet3D
 
-        model = UNet3D()
+        # bf16 compute (params stay fp32): conv FLOPs land on the MXU at
+        # 2x the fp32 rate; the Tanh-bounded activations tolerate it
+        model = UNet3D(
+            dtype=_jnp.bfloat16 if args.unet_bf16 else _jnp.float32
+        )
         if args.ckpt:
             from python_fluid_simulation_tpu.models.convert import (
                 load_torch_checkpoint,
