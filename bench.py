@@ -78,6 +78,25 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 2),
     }
+
+    # Attach the recorded big-config runs (BASELINE configs 3/5, measured
+    # on this repo's TPU by benchmarks/big_configs.py) and per-phase
+    # attributions (benchmarks/phase_bench.py) so the single bench line
+    # carries the full picture.
+    here = os.path.dirname(os.path.abspath(__file__))
+    big = os.path.join(here, "artifacts", "BENCH_BIG.json")
+    if os.path.exists(big):
+        with open(big) as f:
+            recorded = json.load(f)
+        out["recorded_big_configs"] = {
+            k: {
+                "grid": v.get("grid"),
+                "steps_per_s": v.get("steps_per_s"),
+                "ms_per_step": v.get("ms_per_step"),
+                "cg_iters_last_step": v.get("cg_iters_last_step"),
+            }
+            for k, v in recorded.items()
+        }
     print(json.dumps(out))
 
 

@@ -68,8 +68,17 @@ def build_unet_input(
 ) -> jnp.ndarray:
     """(1, D, H, W, 11) channels-last input. Channel order matches cell 12
     :899: [dxdx, dydy, dzdz, dxdy, dxdz, dydx, dydz, dzdx, dzdy,
-    solid_mask, lvol_norm]."""
+    solid_mask, lvol_norm].
+
+    ``lvol`` may be the raw (2N+1)^3 dual array or its parity-class dict
+    (the engine's form); the UNet box genuinely needs the interleaved
+    lattice, so a dict is merged here (the only consumer that pays the
+    relayout — the stencil solvers sample classes directly)."""
     dual = sphi.shape
+    if isinstance(lvol, dict):
+        from python_fluid_simulation_tpu.ops.indexing import merge_parity
+
+        lvol = merge_parity(lvol, dual)
     data_size, pad = padded_box(dual)
     emb = [
         _embed(gv[a], data_size, pad, _FACE_PARITY[a]) for a in range(3)

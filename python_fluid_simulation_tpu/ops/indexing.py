@@ -94,6 +94,20 @@ def dual_sample(
     return sample(src, k, target_shape, fill)
 
 
+def merge_parity(classes: dict, dual_res: Sequence[int]) -> jnp.ndarray:
+    """Inverse of `split_parity`: interleave 2^d parity-class grids back
+    into one (2N+1)^d dual-lattice array.  Only needed where a consumer
+    genuinely wants the interleaved box (the UNet feature builder);
+    everything stencil-shaped samples the classes directly."""
+    d = len(dual_res)
+    any_cls = next(iter(classes.values()))
+    dual = jnp.zeros(tuple(dual_res), any_cls.dtype)
+    for p, arr in classes.items():
+        idx = tuple(slice(int(pp), None, 2) for pp in p)
+        dual = dual.at[idx].set(arr)
+    return dual
+
+
 def parity_view(dual: jnp.ndarray, parity: Sequence[int]) -> jnp.ndarray:
     """Return the subgrid dual[p0::2, p1::2, ...] for parity in {0,1}^d.
 

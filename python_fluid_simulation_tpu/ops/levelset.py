@@ -165,3 +165,92 @@ def compute_fluid_volume(
     for c in fine_cell_size:
         fine_vol *= c
     return jnp.minimum(vol, fine_vol)
+
+
+def compute_fluid_volume_classes(
+    px: jnp.ndarray,
+    pvol: float,
+    gres: Sequence[int],
+    bound_min: Sequence[float],
+    fine_cell_size: Sequence[float],
+    pm: jnp.ndarray | None = None,
+) -> dict:
+    """`compute_fluid_volume` emitted directly as the dual lattice's 2^d
+    parity-class grids (never materialising the (2N+1)^d array).
+
+    The fine home node g = floor((px-bmin)/fine_h) decomposes as
+    g = 2b + s with b the coarse home cell (exact: b = g//2) and
+    s in {0,1}; the trilinear corner targets g + {0,1} become per-cell
+    channels r = s + {0,1} subset {0,1,2}^d, and channel r lands in
+    parity class (r mod 2) at class index b + (r - r mod 2)/2.  One sort
+    over coarse-cell ids (4^d fewer bins than fine binning) serves all
+    3^d channels; each class folds its own channels under the same
+    border-clamping rule.
+
+    Numerically identical to split_parity(compute_fluid_volume(...)) for
+    every particle inside the domain (corner weights vanish exactly at
+    the boundary); for a particle OUTSIDE the domain the reference's
+    fine-node clamp can cross parity (fine -1 -> 0) which a per-class
+    clamp cannot express — out-of-domain particles do not exist after
+    SDF projection, and zero-mass padding particles contribute 0.
+
+    Why: the (2N+1)^3 array's ::2 parity views compile to gather ops
+    costing ~9 ms each at 128^3 on TPU (7 of them per step, measured);
+    the class grids sidestep that entirely and shrink the scatter's
+    segment space 4^d-fold.
+    """
+    from python_fluid_simulation_tpu.ops.scatter import (
+        channels_first,
+        fold_scattered,
+        home_ids_extended,
+        segment_sum_sorted,
+        sort_by_segment,
+    )
+
+    d = px.shape[-1]
+    gi, _, w = _corner_setup(px, bound_min, fine_cell_size, (0.0,) * d)
+    b = jnp.floor_divide(gi, 2)
+    s = gi - 2 * b  # in {0,1} per axis, exactly
+
+    pv = pvol if pm is None else pvol * (pm > 0)
+    rs = list(itertools.product((0, 1, 2), repeat=d))
+    chans = []
+    for r in rs:
+        weight = None
+        for a, ra in enumerate(r):
+            ua = jnp.where(
+                s[:, a] == ra, 1.0 - w[:, a],
+                jnp.where(s[:, a] + 1 == ra, w[:, a], 0.0),
+            )
+            weight = ua if weight is None else weight * ua
+        chans.append(weight * pv)
+    vals = jnp.stack(chans, axis=-1)  # (K, 3^d)
+
+    ids, ext = home_ids_extended(b, gres)
+    sorted_ids, sorted_vals = sort_by_segment(ids, vals)
+    size = 1
+    for e in ext:
+        size *= e
+    seg = segment_sum_sorted(sorted_vals, sorted_ids, size)
+    seg_cf = channels_first(seg, ext)  # (3^d, ext...)
+
+    fine_vol = 1.0
+    for c in fine_cell_size:
+        fine_vol *= c
+
+    out = {}
+    for p in itertools.product((0, 1), repeat=d):
+        class_res = tuple(
+            int(n) + 1 if pp == 0 else int(n) for n, pp in zip(gres, p)
+        )
+        sel = [
+            (i, tuple((ra - pa) // 2 - 1 for ra, pa in zip(r, p)))
+            for i, r in enumerate(rs)
+            if all(ra % 2 == pa for ra, pa in zip(r, p))
+        ]
+        sub = jnp.stack([seg_cf[i] for i, _ in sel])
+        vol = fold_scattered(
+            sub, [sh for _, sh in sel], class_res, "add", 0.0
+        )
+        out[p] = jnp.minimum(vol, fine_vol)
+    return out

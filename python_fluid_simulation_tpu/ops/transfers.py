@@ -121,6 +121,102 @@ def p2g_axis(
     return gm, gv
 
 
+def p2g_all(
+    px: jnp.ndarray,
+    pm: jnp.ndarray,
+    pv: jnp.ndarray,
+    pc: jnp.ndarray,
+    gres: Sequence[int],
+    face_shapes: Sequence[Sequence[int]],
+    biases: Sequence[Sequence[float]],
+    bound_min: Sequence[float],
+    cell_size: Sequence[float],
+):
+    """All axes' P2G in ONE sort + segmented sum + dense placement.
+
+    Numerically equivalent to three `p2g_axis` calls (same kernels,
+    cell 2 :96-177) up to summation order: every axis' staggered home
+    cell is rebased onto the bias-0 home b0 = floor(t) — exact, since
+    floor(t - 0.5) in {b0 - 1, b0} — so one sort over b0-ids serves all
+    axes, with the corner offsets widened to {-1,0,1} on biased axes
+    (weights vanish on the inapplicable offset).  Why: the TPU scatter
+    underlying the dense placement costs ~18 ms per call at 128^3
+    (row-bound, not byte-bound, measured); one 108-channel scatter
+    replaces three 16-channel ones.
+
+    ``pc`` is the full (K, d, d) affine matrix (rows = components).
+    Returns (gm_list, gv_list) on the face shapes.
+    """
+    from python_fluid_simulation_tpu.ops.scatter import (
+        channels_first,
+        fold_scattered,
+        home_ids_extended,
+        segment_sum_sorted,
+        sort_by_segment,
+    )
+
+    d = px.shape[-1]
+    h = jnp.asarray(cell_size, dtype=px.dtype)
+    gi0, _, _ = _corner_setup(px, bound_min, cell_size, (0.0,) * d)
+
+    chans = []
+    specs = []  # (axis, channel_offset_tuple) per PAIR of channels
+    for a in range(d):
+        gi_a, disp_a, w_a = _corner_setup(
+            px, bound_min, cell_size, biases[a]
+        )
+        delta = gi_a - gi0  # in {-1, 0} per axis, exact
+        offs_range = [
+            (-1, 0, 1) if biases[a][dd] != 0.0 else (0, 1)
+            for dd in range(d)
+        ]
+        for coffs in itertools.product(*offs_range):
+            weight = None
+            o_cols = []
+            for dd, c in enumerate(coffs):
+                o = c - delta[:, dd]  # corner offset rel. staggered home
+                wd = jnp.where(
+                    o == 0, 1.0 - w_a[:, dd],
+                    jnp.where(o == 1, w_a[:, dd], 0.0),
+                )
+                weight = wd if weight is None else weight * wd
+                o_cols.append(o.astype(px.dtype))
+            # APIC affine term with the particle's actual corner offset
+            o_h = jnp.stack(o_cols, axis=-1) * h
+            cv = jnp.sum((disp_a + o_h) * pc[:, a, :], axis=-1)
+            chans.append(weight * pm)
+            chans.append(weight * pm * (pv[:, a] + cv))
+            specs.append((a, coffs))
+    vals = jnp.stack(chans, axis=-1)  # (K, 2 * sum(channels per axis))
+
+    ids, ext = home_ids_extended(gi0, gres)
+    sorted_ids, sorted_vals = sort_by_segment(ids, vals)
+    size = 1
+    for s in ext:
+        size *= s
+    seg = segment_sum_sorted(sorted_vals, sorted_ids, size)
+    seg_cf = channels_first(seg, ext)
+
+    base_shape = tuple(gres)
+    gms, gvs = [], []
+    for a in range(d):
+        idxs = [j for j, (aa, _) in enumerate(specs) if aa == a]
+        shifts = [tuple(c - 1 for c in specs[j][1]) for j in idxs]
+        m_ch = seg_cf[jnp.asarray([2 * j for j in idxs])]
+        v_ch = seg_cf[jnp.asarray([2 * j + 1 for j in idxs])]
+        gm = fold_scattered(m_ch, shifts, base_shape, "add", 0.0)
+        gv_m = fold_scattered(v_ch, shifts, base_shape, "add", 0.0)
+        pad = [
+            (0, face_shapes[a][i] - base_shape[i]) for i in range(d)
+        ]
+        gm = jnp.pad(gm, pad)
+        gv_m = jnp.pad(gv_m, pad)
+        gv = jnp.where(gm > 0, gv_m / jnp.where(gm > 0, gm, 1.0), 0.0)
+        gms.append(gm)
+        gvs.append(gv)
+    return gms, gvs
+
+
 def g2p_axis(
     px: jnp.ndarray,
     gv: jnp.ndarray,

@@ -383,8 +383,13 @@ def viscosity_solve_3d(
     s_mu = scale * mu
     # control volumes normalised by cell_vol/8 in BOTH 2D and 3D — the 2D
     # reference also divides by 0.125 (ViscosityCGSolver2D.py:278), not
-    # 0.25; preserved for parity.
-    vol = lvol / (cell_vol * 0.125)
+    # 0.25; preserved for parity.  ``lvol`` may arrive pre-split as a
+    # parity-class dict (ops/levelset.compute_fluid_volume_classes — the
+    # engine path, which never materialises the (2N+1)^d array).
+    if isinstance(lvol, dict):
+        vol = {k: v / (cell_vol * 0.125) for k, v in lvol.items()}
+    else:
+        vol = lvol / (cell_vol * 0.125)
 
     # split the dual lattices into parity classes ONCE (strided slices
     # relayout on TPU; the stencil terms below sample them ~100 times)

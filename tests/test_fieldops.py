@@ -8,6 +8,7 @@ from python_fluid_simulation_tpu.ops.extrapolate import extrapolate
 from python_fluid_simulation_tpu.ops.levelset import (
     compute_fluid_levelset,
     compute_fluid_volume,
+    compute_fluid_volume_classes,
 )
 
 N = (8, 8, 8)
@@ -55,6 +56,51 @@ def test_fluid_volume_conservation_and_clamp():
     vol2 = np.asarray(compute_fluid_volume(px2, 1e-3, dual, BMIN, fine_h))
     fine_vol = fine_h[0] * fine_h[1] * fine_h[2]
     assert vol2.max() <= fine_vol + 1e-9
+
+
+def test_fluid_volume_classes_match_dense():
+    """compute_fluid_volume_classes == split_parity(compute_fluid_volume)
+    for in-domain particles (including ones exactly on the domain
+    bounds, whose out-of-range corner weights are exactly zero); only
+    summation order differs (fp32, ~1e-10)."""
+    from python_fluid_simulation_tpu.ops.indexing import split_parity
+
+    rng = np.random.default_rng(3)
+    gres = (6, 9, 7)
+    bmin = (-0.2, 0.0, 0.1)
+    h = 0.05
+    fine_h = (h / 2,) * 3
+    dual = tuple(2 * n + 1 for n in gres)
+    ext = np.asarray([n * h for n in gres])
+    px = jnp.asarray(
+        np.asarray(bmin) + rng.random((400, 3)) * ext, jnp.float32
+    )
+    # padding particles (m=0) and exact-boundary particles
+    px = jnp.concatenate(
+        [
+            px,
+            jnp.asarray([bmin], jnp.float32),
+            jnp.asarray([np.asarray(bmin) + ext], jnp.float32),
+        ]
+    )
+    pm = jnp.asarray(
+        (rng.random(px.shape[0]) > 0.1).astype(np.float32)
+    )
+    pvol = 1.3e-5
+    dense = split_parity(
+        compute_fluid_volume(px, pvol, dual, bmin, fine_h, pm=pm), 3
+    )
+    classes = compute_fluid_volume_classes(
+        px, pvol, gres, bmin, fine_h, pm=pm
+    )
+    assert set(classes) == set(dense)
+    for p in dense:
+        np.testing.assert_allclose(
+            np.asarray(classes[p]),
+            np.asarray(dense[p]),
+            rtol=1e-4,
+            atol=1e-9,
+        )
 
 
 def test_extrapolate_layer_peel():

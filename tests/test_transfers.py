@@ -110,3 +110,29 @@ def test_g2p_gradient_of_linear_field():
     )
     np.testing.assert_allclose(np.asarray(pc)[:, 0], slope, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(pc)[:, 1:], 0.0, atol=1e-4)
+
+
+def test_p2g_all_matches_per_axis():
+    """The merged one-sort/one-scatter transfer (engine path) equals the
+    three per-axis transfers up to fp32 summation order (exact in f64:
+    verified at development time; here fp32 tolerances)."""
+    from python_fluid_simulation_tpu.ops.transfers import p2g_all
+
+    rng = np.random.default_rng(7)
+    n = 600
+    x = jnp.asarray(0.05 + 0.9 * rng.random((n, 3)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
+    m = jnp.asarray(rng.random(n) + 0.5, jnp.float32)
+    pc = jnp.asarray(rng.standard_normal((n, 3, 3)), jnp.float32)
+    fsh = [_face_shape(a) for a in range(3)]
+    gms, gvs = p2g_all(x, m, v, pc, GRES, fsh, BIAS, BMIN, H)
+    for a in range(3):
+        gm_r, gv_r = p2g_axis(
+            x, m, v, pc[:, a, :], a, GRES, fsh[a], BIAS[a], BMIN, H
+        )
+        np.testing.assert_allclose(
+            np.asarray(gms[a]), np.asarray(gm_r), rtol=3e-4, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(gvs[a]), np.asarray(gv_r), rtol=1e-3, atol=3e-4
+        )
