@@ -203,21 +203,24 @@ def step_3d(
         mesh=mesh,
     )
     px = dres.px
-    lphi, lvol = _levelsets(px, cfg, p.m)
+    lphi, _ = _levelsets(px, cfg, p.m, need_volume=False)
     lphi = gshard(lphi)
-    lvol = {k: gshard(v) for k, v in lvol.items()}
 
-    # -- P2G (:4597-4604): all 3 axes share one sort + one scatter
+    # -- P2G (:4597-4604) + fluid volume (:4588 recompute, :4593-4594):
+    #    all 3 axes AND the dual-lattice volume share one sort + one
+    #    dense placement (the TPU scatter is row-bound)
     fshapes = [
         tuple(n + (1 if i == a else 0) for i, n in enumerate(g.res))
         for a in range(3)
     ]
-    gm, gv = p2g_all(
+    gm, gv, lvol = p2g_all(
         px, p.m, p.v, p.c, g.res, fshapes, _FACE_BIAS,
         g.bound_min, g.cell_size,
+        volume=(cfg.particle_dx ** 3, g.dual_cell_size),
     )
     gm = [gshard(m_a) for m_a in gm]
     gv = [gshard(v_a) for v_a in gv]
+    lvol = {k: gshard(v) for k, v in lvol.items()}
 
     # -- gravity (:4608): applied to the whole y-face array
     gv[1] = gv[1] + ph.gravity * dt

@@ -47,7 +47,7 @@ def compute_fluid_levelset(
     """
     from python_fluid_simulation_tpu.ops.scatter import (
         channels_first,
-        fold_scattered,
+        fold_scattered_sep,
         segment_min_sorted,
         sort_by_segment,
     )
@@ -115,7 +115,9 @@ def compute_fluid_levelset(
         size *= s
     seg = segment_min_sorted(vals, sorted_ids, size, background)
     seg_cf = channels_first(seg, tuple(res))
-    return fold_scattered(seg_cf, offsets, tuple(res), "min", background)
+    return fold_scattered_sep(
+        seg_cf, [tuple(range(-2, 3))] * d, tuple(res), "min", background
+    )
 
 
 def compute_fluid_volume(
@@ -134,7 +136,7 @@ def compute_fluid_volume(
     """
     from python_fluid_simulation_tpu.ops.scatter import (
         channels_first,
-        fold_scattered,
+        fold_scattered_sep,
         home_ids_extended,
         segment_sum_sorted,
         sort_by_segment,
@@ -159,8 +161,9 @@ def compute_fluid_volume(
     seg = segment_sum_sorted(sorted_vals, sorted_ids, size)
     seg_cf = channels_first(seg, ext)
 
-    shifts = [tuple(o - 1 for o in offs) for offs in corners]
-    vol = fold_scattered(seg_cf, shifts, tuple(dual_res), "add", 0.0)
+    vol = fold_scattered_sep(
+        seg_cf, [(-1, 0)] * d, tuple(dual_res), "add", 0.0
+    )
     fine_vol = 1.0
     for c in fine_cell_size:
         fine_vol *= c
@@ -201,7 +204,7 @@ def compute_fluid_volume_classes(
     """
     from python_fluid_simulation_tpu.ops.scatter import (
         channels_first,
-        fold_scattered,
+        fold_scattered_sep,
         home_ids_extended,
         segment_sum_sorted,
         sort_by_segment,
@@ -244,13 +247,11 @@ def compute_fluid_volume_classes(
             int(n) + 1 if pp == 0 else int(n) for n, pp in zip(gres, p)
         )
         sel = [
-            (i, tuple((ra - pa) // 2 - 1 for ra, pa in zip(r, p)))
-            for i, r in enumerate(rs)
+            i for i, r in enumerate(rs)
             if all(ra % 2 == pa for ra, pa in zip(r, p))
         ]
-        sub = jnp.stack([seg_cf[i] for i, _ in sel])
-        vol = fold_scattered(
-            sub, [sh for _, sh in sel], class_res, "add", 0.0
-        )
+        axis_shifts = [(-1, 0) if pp == 0 else (-1,) for pp in p]
+        sub = jnp.stack([seg_cf[i] for i in sel])
+        vol = fold_scattered_sep(sub, axis_shifts, class_res, "add", 0.0)
         out[p] = jnp.minimum(vol, fine_vol)
     return out

@@ -27,7 +27,7 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from python_fluid_simulation_tpu.ops.indexing import shift
+from python_fluid_simulation_tpu.ops.indexing import sample, shift
 
 
 def sort_by_segment(ids: jnp.ndarray, *vals: jnp.ndarray):
@@ -184,6 +184,52 @@ def fold_scattered(
         else:
             acc = jnp.minimum(acc, piece)
     return fold_clip(acc, tuple(min_s), out_shape, combine, fill)
+
+
+def fold_scattered_sep(
+    seg: jnp.ndarray,
+    axis_shifts,
+    out_shape: Sequence[int],
+    combine: str = "add",
+    fill=0.0,
+) -> jnp.ndarray:
+    """`fold_scattered` for a CARTESIAN-PRODUCT shift set, folded
+    separably: channel k = lexicographic product(axis_shifts) index.
+
+    Folding axis-by-axis on whole channel BLOCKS emits sum(len(s_a))
+    pad/slice pieces instead of prod(len(s_a)) — e.g. the 5^3 level-set
+    fold drops from 125 whole-grid pieces to 15.  [Each materialised
+    pad/slice costs ~0.15 ms of async DMA at 128^3 regardless of size;
+    ~1000 of them per step made the fused step DMA-bound — measured.]
+    """
+    d = len(out_shape)
+    sizes = [len(s) for s in axis_shifts]
+    n_ch = 1
+    for s in sizes:
+        n_ch *= s
+    assert seg.shape[0] == n_ch, (seg.shape, sizes)
+    min_s = [min(s) for s in axis_shifts]
+    max_s = [max(s) for s in axis_shifts]
+    cur = seg.reshape(tuple(sizes) + seg.shape[1:])
+    for a in range(d):
+        # cur dims: (s_a, s_{a+1}, .., s_{d-1}, T_0..T_{a-1}, X_a, .., X_{d-1})
+        # -> the spatial axis to shift is ALWAYS at index d
+        t_a = cur.shape[d] + max_s[a] - min_s[a]
+        acc = None
+        for i, s in enumerate(axis_shifts[a]):
+            tgt = list(cur.shape[1:])
+            tgt[d - 1] = t_a
+            off = [0] * len(tgt)
+            off[d - 1] = min_s[a] - s
+            piece = sample(cur[i], tuple(off), tuple(tgt), fill)
+            if acc is None:
+                acc = piece
+            elif combine == "add":
+                acc = acc + piece
+            else:
+                acc = jnp.minimum(acc, piece)
+        cur = acc
+    return fold_clip(cur, tuple(min_s), out_shape, combine, fill)
 
 
 def channels_first(seg_mc: jnp.ndarray, grid_shape: Sequence[int]) -> jnp.ndarray:

@@ -74,7 +74,7 @@ def p2g_axis(
     """
     from python_fluid_simulation_tpu.ops.scatter import (
         channels_first,
-        fold_scattered,
+        fold_scattered_sep,
         home_ids_extended,
         segment_sum_sorted,
         sort_by_segment,
@@ -109,9 +109,12 @@ def p2g_axis(
     seg_cf = channels_first(seg, ext)
 
     base_shape = tuple(gres)
-    shifts = [tuple(o - 1 for o in offs) for offs in corners]
-    gm = fold_scattered(seg_cf[0::2], shifts, base_shape, "add", 0.0)
-    gv_m = fold_scattered(seg_cf[1::2], shifts, base_shape, "add", 0.0)
+    gm = fold_scattered_sep(
+        seg_cf[0::2], [(-1, 0)] * d, base_shape, "add", 0.0
+    )
+    gv_m = fold_scattered_sep(
+        seg_cf[1::2], [(-1, 0)] * d, base_shape, "add", 0.0
+    )
     # place onto the face array: the trailing face plane never receives
     # mass (reference clamps corner indices to gres-1, cell 2 :128)
     pad = [(0, face_shape[i] - base_shape[i]) for i in range(d)]
@@ -131,6 +134,7 @@ def p2g_all(
     biases: Sequence[Sequence[float]],
     bound_min: Sequence[float],
     cell_size: Sequence[float],
+    volume=None,
 ):
     """All axes' P2G in ONE sort + segmented sum + dense placement.
 
@@ -146,10 +150,20 @@ def p2g_all(
 
     ``pc`` is the full (K, d, d) affine matrix (rows = components).
     Returns (gm_list, gv_list) on the face shapes.
+
+    ``volume=(pvol, fine_cell_size)`` additionally emits the dual-lattice
+    fluid-volume field as parity-class grids (see
+    `ops/levelset.compute_fluid_volume_classes`) from the SAME sort and
+    the SAME dense placement — the fine home is derived from the bias-0
+    fractional position (s = floor(2*w0)), so the volume channels ride
+    the p2g scatter for free; returns (gm_list, gv_list, vol_classes).
+    [A standalone 27-channel placement was assigned a transposed layout
+    by XLA and cost 47 ms/step at 128^3; appended to the 108-channel
+    p2g placement the whole thing is ~5 ms.]
     """
     from python_fluid_simulation_tpu.ops.scatter import (
         channels_first,
-        fold_scattered,
+        fold_scattered_sep,
         home_ids_extended,
         segment_sum_sorted,
         sort_by_segment,
@@ -157,7 +171,7 @@ def p2g_all(
 
     d = px.shape[-1]
     h = jnp.asarray(cell_size, dtype=px.dtype)
-    gi0, _, _ = _corner_setup(px, bound_min, cell_size, (0.0,) * d)
+    gi0, _, w0 = _corner_setup(px, bound_min, cell_size, (0.0,) * d)
 
     chans = []
     specs = []  # (axis, channel_offset_tuple) per PAIR of channels
@@ -187,7 +201,27 @@ def p2g_all(
             chans.append(weight * pm)
             chans.append(weight * pm * (pv[:, a] + cv))
             specs.append((a, coffs))
-    vals = jnp.stack(chans, axis=-1)  # (K, 2 * sum(channels per axis))
+    vol_rs = []
+    if volume is not None:
+        pvol, fine_cell_size = volume
+        two_w = 2.0 * w0
+        s_fine = jnp.floor(two_w).astype(jnp.int32)  # in {0, 1}
+        frac_f = two_w - s_fine
+        pv_vol = pvol * (pm > 0)  # zero-mass particles are padding
+        vol_rs = list(itertools.product((0, 1, 2), repeat=d))
+        for r in vol_rs:
+            weight = None
+            for dd, ra in enumerate(r):
+                ua = jnp.where(
+                    s_fine[:, dd] == ra, 1.0 - frac_f[:, dd],
+                    jnp.where(
+                        s_fine[:, dd] + 1 == ra, frac_f[:, dd], 0.0
+                    ),
+                )
+                weight = ua if weight is None else weight * ua
+            chans.append(weight * pv_vol)
+
+    vals = jnp.stack(chans, axis=-1)  # (K, 2 * sum(channels) [+ 3^d])
 
     ids, ext = home_ids_extended(gi0, gres)
     sorted_ids, sorted_vals = sort_by_segment(ids, vals)
@@ -201,11 +235,18 @@ def p2g_all(
     gms, gvs = [], []
     for a in range(d):
         idxs = [j for j, (aa, _) in enumerate(specs) if aa == a]
-        shifts = [tuple(c - 1 for c in specs[j][1]) for j in idxs]
+        # channel order is product(*offs_range) -> separable fold
+        axis_shifts = [
+            tuple(c - 1 for c in ((-1, 0, 1) if biases[a][dd] != 0.0
+                                  else (0, 1)))
+            for dd in range(d)
+        ]
         m_ch = seg_cf[jnp.asarray([2 * j for j in idxs])]
         v_ch = seg_cf[jnp.asarray([2 * j + 1 for j in idxs])]
-        gm = fold_scattered(m_ch, shifts, base_shape, "add", 0.0)
-        gv_m = fold_scattered(v_ch, shifts, base_shape, "add", 0.0)
+        gm = fold_scattered_sep(m_ch, axis_shifts, base_shape, "add", 0.0)
+        gv_m = fold_scattered_sep(
+            v_ch, axis_shifts, base_shape, "add", 0.0
+        )
         pad = [
             (0, face_shapes[a][i] - base_shape[i]) for i in range(d)
         ]
@@ -214,7 +255,27 @@ def p2g_all(
         gv = jnp.where(gm > 0, gv_m / jnp.where(gm > 0, gm, 1.0), 0.0)
         gms.append(gm)
         gvs.append(gv)
-    return gms, gvs
+    if volume is None:
+        return gms, gvs
+
+    n_p2g = 2 * len(specs)
+    fine_vol = 1.0
+    for c in fine_cell_size:
+        fine_vol *= c
+    classes = {}
+    for p in itertools.product((0, 1), repeat=d):
+        class_res = tuple(
+            int(n) + 1 if pp == 0 else int(n) for n, pp in zip(gres, p)
+        )
+        sel = [
+            i for i, r in enumerate(vol_rs)
+            if all(ra % 2 == pa for ra, pa in zip(r, p))
+        ]
+        axis_shifts = [(-1, 0) if pp == 0 else (-1,) for pp in p]
+        sub = seg_cf[jnp.asarray([n_p2g + i for i in sel])]
+        vol = fold_scattered_sep(sub, axis_shifts, class_res, "add", 0.0)
+        classes[p] = jnp.minimum(vol, fine_vol)
+    return gms, gvs, classes
 
 
 def g2p_axis(

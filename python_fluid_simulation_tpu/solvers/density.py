@@ -55,7 +55,7 @@ def scatter_mass_volume(
     """
     from python_fluid_simulation_tpu.ops.scatter import (
         channels_first,
-        fold_scattered,
+        fold_scattered_sep,
         home_ids_extended,
         segment_sum_sorted,
         sort_by_segment,
@@ -83,9 +83,12 @@ def scatter_mass_volume(
     seg = segment_sum_sorted(sorted_vals, sorted_ids, size)
     seg_cf = channels_first(seg, ext)
 
-    shifts = [tuple(o - 1 for o in offs) for offs in corners]
-    gm = fold_scattered(seg_cf[0::2], shifts, tuple(gres), "add", 0.0)
-    gvol = fold_scattered(seg_cf[1::2], shifts, tuple(gres), "add", 0.0)
+    gm = fold_scattered_sep(
+        seg_cf[0::2], [(-1, 0)] * d, tuple(gres), "add", 0.0
+    )
+    gvol = fold_scattered_sep(
+        seg_cf[1::2], [(-1, 0)] * d, tuple(gres), "add", 0.0
+    )
     return gm, gvol
 
 

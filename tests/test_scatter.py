@@ -109,3 +109,33 @@ def test_home_ids_extended_covers_out_of_range():
         g = np.clip(row + 1, 0, 4)
         want.append((g[0] * 5 + g[1]) * 5 + g[2])
     np.testing.assert_array_equal(got, want)
+
+
+def test_fold_scattered_sep_matches_dense():
+    """The separable block fold (engine path: sum(|s_a|) pieces) equals
+    the per-channel fold for Cartesian-product shift sets, for both
+    combiners and with a non-trivial fill."""
+    import itertools
+
+    from python_fluid_simulation_tpu.ops.scatter import (
+        fold_scattered,
+        fold_scattered_sep,
+    )
+
+    rng = np.random.default_rng(5)
+    cases = [
+        ([(-2, -1, 0, 1, 2)] * 3, (6, 7, 5), "min", 3.0),
+        ([(-2, -1, 0), (-2, -1, 0), (-1, 0)], (6, 7, 5), "add", 0.0),
+        ([(-1, 0), (-1,), (-1, 0)], (7, 6, 5), "add", 0.0),
+    ]
+    for axis_shifts, out_shape, comb, fill in cases:
+        shifts = list(itertools.product(*axis_shifts))
+        ext = (8, 9, 7)
+        seg = jnp.asarray(
+            rng.standard_normal((len(shifts),) + ext).astype(np.float32)
+        )
+        dense = fold_scattered(seg, shifts, out_shape, comb, fill)
+        sep = fold_scattered_sep(seg, axis_shifts, out_shape, comb, fill)
+        np.testing.assert_allclose(
+            np.asarray(sep), np.asarray(dense), rtol=1e-5, atol=1e-6
+        )

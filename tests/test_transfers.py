@@ -136,3 +136,35 @@ def test_p2g_all_matches_per_axis():
         np.testing.assert_allclose(
             np.asarray(gvs[a]), np.asarray(gv_r), rtol=1e-3, atol=3e-4
         )
+
+
+def test_p2g_all_volume_channels_match_dense():
+    """volume=(pvol, fine_h) rides the p2g placement and must equal
+    split_parity(compute_fluid_volume(...)) to summation order."""
+    from python_fluid_simulation_tpu.ops.indexing import split_parity
+    from python_fluid_simulation_tpu.ops.levelset import (
+        compute_fluid_volume,
+    )
+    from python_fluid_simulation_tpu.ops.transfers import p2g_all
+
+    rng = np.random.default_rng(9)
+    n = 600
+    x = jnp.asarray(0.05 + 0.9 * rng.random((n, 3)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
+    m = jnp.asarray(rng.random(n) + 0.5, jnp.float32)
+    pc = jnp.asarray(rng.standard_normal((n, 3, 3)), jnp.float32)
+    fsh = [_face_shape(a) for a in range(3)]
+    fine = tuple(h / 2 for h in H)
+    pvol = 1e-5
+    _, _, classes = p2g_all(
+        x, m, v, pc, GRES, fsh, BIAS, BMIN, H, volume=(pvol, fine)
+    )
+    dual = tuple(2 * k + 1 for k in GRES)
+    ref = split_parity(
+        compute_fluid_volume(x, pvol, dual, BMIN, fine, pm=m), 3
+    )
+    for p in ref:
+        np.testing.assert_allclose(
+            np.asarray(classes[p]), np.asarray(ref[p]),
+            rtol=2e-4, atol=1e-9,
+        )
