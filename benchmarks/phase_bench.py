@@ -59,7 +59,7 @@ def main():
     from python_fluid_simulation_tpu.ops.extrapolate import extrapolate
     from python_fluid_simulation_tpu.ops.fractions import compute_solid_frac_3d
     from python_fluid_simulation_tpu.ops.indexing import split_parity
-    from python_fluid_simulation_tpu.ops.transfers import g2p_axis, p2g_axis
+    from python_fluid_simulation_tpu.ops.transfers import g2p_axis, p2g_all
     from python_fluid_simulation_tpu.solvers.density import density_solve_3d
     from python_fluid_simulation_tpu.solvers.pressure import pressure_solve_3d
     from python_fluid_simulation_tpu.solvers.viscosity import (
@@ -106,8 +106,8 @@ def main():
         return sdf3d.project(rb, px + pv * dt)
 
     @jax.jit
-    def ph_levelsets(px, pm):
-        return _levelsets(px, cfg, pm)
+    def ph_levelset(px, pm):
+        return _levelsets(px, cfg, pm, need_volume=False)[0]
 
     @jax.jit
     def ph_density(dt, px, pm, sphi_c, lphi, w_faces):
@@ -121,19 +121,19 @@ def main():
 
     @jax.jit
     def ph_p2g(px, pm, pv, pc, dt):
-        gm, gv = [], []
-        for a in range(3):
-            fshape = tuple(
-                n + (1 if i == a else 0) for i, n in enumerate(g.res)
-            )
-            m_a, v_a = p2g_axis(
-                px, pm, pv, pc[:, a, :], a, g.res, fshape,
-                _FACE_BIAS[a], g.bound_min, g.cell_size,
-            )
-            gm.append(m_a)
-            gv.append(v_a)
+        # the engine path: all axes + the fluid-volume classes in one
+        # sort + one dense placement (ops/transfers.p2g_all)
+        fshapes = [
+            tuple(n + (1 if i == a else 0) for i, n in enumerate(g.res))
+            for a in range(3)
+        ]
+        gm, gv, lvol = p2g_all(
+            px, pm, pv, pc, g.res, fshapes, _FACE_BIAS,
+            g.bound_min, g.cell_size,
+            volume=(cfg.particle_dx ** 3, g.dual_cell_size),
+        )
         gv[1] = gv[1] + ph.gravity * dt
-        return gm, gv
+        return gm, gv, lvol
 
     @jax.jit
     def ph_viscosity(dt, gv, sphi_c, lvol):
@@ -193,18 +193,18 @@ def main():
         with timer.phase("1_advect_project", block_on=None):
             px = ph_advect(px, pv, state.solid.rb, dt)
             jax.block_until_ready(px)
-        with timer.phase("2_levelset_volume", block_on=None):
-            lphi, lvol = ph_levelsets(px, pm)
+        with timer.phase("2_levelset", block_on=None):
+            lphi = ph_levelset(px, pm)
             jax.block_until_ready(lphi)
         with timer.phase("3_density_solve", block_on=None):
             dres = ph_density(dt, px, pm, sphi_c, lphi, w_faces)
             px = dres.px
             jax.block_until_ready(px)
-        with timer.phase("4_levelset_volume2", block_on=None):
-            lphi, lvol = ph_levelsets(px, pm)
+        with timer.phase("4_levelset2", block_on=None):
+            lphi = ph_levelset(px, pm)
             jax.block_until_ready(lphi)
-        with timer.phase("5_p2g", block_on=None):
-            gm, gv = ph_p2g(px, pm, pv, pc, dt)
+        with timer.phase("5_p2g_volume", block_on=None):
+            gm, gv, lvol = ph_p2g(px, pm, pv, pc, dt)
             jax.block_until_ready(gv[0])
         if ph.mu > 0:
             with timer.phase("6_viscosity_solve", block_on=None):

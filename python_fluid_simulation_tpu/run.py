@@ -223,8 +223,28 @@ def main(argv=None):
             export_html_replay,
         )
 
+        solid_mesh = None
+        if cfg is not None and hasattr(state, "solid"):
+            # embed the solid geometry as a wireframe, like the
+            # reference's k3d.marching_cubes view (cell 10 :785-795)
+            try:
+                from python_fluid_simulation_tpu.utils.io import (
+                    triangulate_levelset,
+                )
+
+                g = cfg.grid
+                verts, tris = triangulate_levelset(
+                    np.asarray(state.solid.phi),
+                    origin=g.bound_min,
+                    spacing=g.dual_cell_size,
+                )
+                verts = verts[:, [0, 2, 1]]  # match the series' k3d order
+                solid_mesh = (verts, tris)
+            except Exception as e:  # viewer still works without the solid
+                print(f"solid mesh skipped: {e}")
         export_html_replay(
-            series.series, os.path.join(args.out, "replay.html")
+            series.series, os.path.join(args.out, "replay.html"),
+            solid_mesh=solid_mesh,
         )
     if args.export_obj and cfg is not None:
         from python_fluid_simulation_tpu.ops.levelset import (

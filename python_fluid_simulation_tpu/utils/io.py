@@ -59,6 +59,23 @@ def export_levelset_obj(
     native C++ marching-cubes extension when built, else a NumPy
     fallback.  Returns the triangle count.
     """
+    verts, tris = triangulate_levelset(phi, level, origin, spacing)
+    with open(path, "w") as f:
+        for v in verts:
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for t in tris:
+            f.write(f"f {t[0]+1} {t[1]+1} {t[2]+1}\n")
+    return len(tris)
+
+
+def triangulate_levelset(
+    phi: np.ndarray,
+    level: float = 0.0,
+    origin=(0.0, 0.0, 0.0),
+    spacing=(1.0, 1.0, 1.0),
+):
+    """(verts (V,3) f32 in world units, tris (T,3) int) of the `level`
+    isosurface — native C++ marching cubes when built, NumPy fallback."""
     phi = np.ascontiguousarray(np.asarray(phi, dtype=np.float32))
     try:
         from python_fluid_simulation_tpu.native import marching_cubes as mc
@@ -66,15 +83,10 @@ def export_levelset_obj(
         verts, tris = mc.run(phi, level)
     except Exception:
         verts, tris = _marching_cubes_numpy(phi, level)
-    verts = verts * np.asarray(spacing, np.float32) + np.asarray(
-        origin, np.float32
-    )
-    with open(path, "w") as f:
-        for v in verts:
-            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
-        for t in tris:
-            f.write(f"f {t[0]+1} {t[1]+1} {t[2]+1}\n")
-    return len(tris)
+    verts = np.asarray(verts, np.float32) * np.asarray(
+        spacing, np.float32
+    ) + np.asarray(origin, np.float32)
+    return verts, np.asarray(tris)
 
 
 def _marching_cubes_numpy(phi: np.ndarray, level: float):

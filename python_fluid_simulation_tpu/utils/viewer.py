@@ -38,7 +38,9 @@ const META = __META__;
 const RAW = Uint8Array.from(atob("__DATA__"), c => c.charCodeAt(0));
 const F32 = new Float32Array(RAW.buffer);
 const NF = META.times.length, NP = META.num_points;
+const NE = META.solid_edges || 0;
 function framePos(f) { return F32.subarray(f*NP*3, (f+1)*NP*3); }
+function solidEdges() { return F32.subarray(NF*NP*3, NF*NP*3 + NE*6); }
 const cv = document.getElementById("c"), ctx = cv.getContext("2d");
 let W, H; function resize(){ W=cv.width=innerWidth; H=cv.height=innerHeight; }
 resize(); addEventListener("resize", resize);
@@ -57,6 +59,22 @@ function draw(){
   ctx.fillStyle = "#111"; ctx.fillRect(0,0,W,H);
   const p = framePos(f), s = Math.min(W,H)*0.42*zoom/S;
   const cy=Math.cos(rotY), sy=Math.sin(rotY), cx=Math.cos(rotX), sx=Math.sin(rotX);
+  function proj(x, z, y){
+    x -= C[0]; z -= C[1]; y -= C[2];
+    const x1 = x*cy + z*sy, z1 = -x*sy + z*cy;
+    const y2 = y*cx - z1*sx;
+    return [W/2 + x1*s, H/2 - y2*s];
+  }
+  if (NE) {
+    const e = solidEdges();
+    ctx.strokeStyle = "#665"; ctx.globalAlpha = 0.35; ctx.beginPath();
+    for (let i=0;i<NE;i++){
+      const a = proj(e[6*i], e[6*i+1], e[6*i+2]);
+      const b = proj(e[6*i+3], e[6*i+4], e[6*i+5]);
+      ctx.moveTo(a[0], a[1]); ctx.lineTo(b[0], b[1]);
+    }
+    ctx.stroke(); ctx.globalAlpha = 1;
+  }
   ctx.fillStyle = "#5ad0f0";
   for (let i=0;i<NP;i++){
     const x=p[3*i]-C[0], z=p[3*i+1]-C[1], y=p[3*i+2]-C[2];
@@ -76,9 +94,19 @@ draw();
 """
 
 
-def export_html_replay(series: Dict[float, np.ndarray], path: str) -> int:
+def export_html_replay(
+    series: Dict[float, np.ndarray],
+    path: str,
+    solid_mesh=None,
+    max_solid_edges: int = 20000,
+) -> int:
     """Write the particle series (the reference's ps.pickle layout:
     {time: (N,3) float32 in [x,z,y] order}) as a standalone HTML replay.
+
+    ``solid_mesh=(verts (V,3) [x,z,y], tris (T,3))`` additionally embeds
+    the solid geometry as a wireframe (one edge per triangle, evenly
+    subsampled to ``max_solid_edges``) — the reference shows the solid
+    via k3d.marching_cubes next to the points (cell 10 :785-795).
 
     Returns the number of frames written.  Frames with differing particle
     counts are truncated to the smallest count (the engine keeps N fixed,
@@ -99,13 +127,28 @@ def export_html_replay(series: Dict[float, np.ndarray], path: str) -> int:
     scale = float(
         np.abs(frames.reshape(-1, 3) - center).max() + 1e-6
     )
+    blob = frames.tobytes()
+    n_edges = 0
+    if solid_mesh is not None:
+        verts, tris = solid_mesh
+        verts = np.asarray(verts, np.float32)
+        tris = np.asarray(tris)
+        if len(tris):
+            stride = max(1, len(tris) // max_solid_edges)
+            tt = tris[::stride]
+            edges = np.stack(
+                [verts[tt[:, 0]], verts[tt[:, 1]]], axis=1
+            ).astype(np.float32)  # (E, 2, 3)
+            n_edges = int(edges.shape[0])
+            blob += edges.tobytes()
     meta = {
         "times": [float(t) for t in times],
         "num_points": int(n),
         "center": [float(c) for c in center],
         "scale": scale,
+        "solid_edges": n_edges,
     }
-    raw = base64.b64encode(frames.tobytes()).decode("ascii")
+    raw = base64.b64encode(blob).decode("ascii")
     html = _TEMPLATE.replace("__META__", json.dumps(meta)).replace(
         "__DATA__", raw
     )
