@@ -14,7 +14,6 @@ is published").
 """
 
 import argparse
-import functools
 import json
 import os
 import sys

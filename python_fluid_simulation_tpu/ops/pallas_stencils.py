@@ -369,18 +369,21 @@ def make_blocked_coupled_matvec(diags, per_axis_terms, field_shapes):
     at 128^3+, where the VMEM-resident coupled kernel cannot fit).
 
     Same blocking scheme as make_blocked_stencil_matvec; all face arrays
-    are zero-padded onto one common (Xp, Yp, Zp) box.  Per grid step the
-    kernel reads 3 x-slabs of each of the 3 velocity fields plus one slab
-    of each coefficient — the XLA path reads a velocity field from HBM
-    once per term use (~15 reads per output axis).
+    are zero-padded onto one common (Xp, Yp, Zp) box.  ONE pallas_call
+    per OUTPUT axis: the single fused all-axes kernel held ~61 live
+    operand rows and sat at the 16 MB scoped-VMEM edge (observed +24 KB
+    over at 64x256x64, compile-order dependent); per-axis kernels hold
+    ~29 and leave real headroom, at the cost of re-reading the three
+    velocity slabs per axis (~0.2 ms of extra HBM traffic at 128^3).
     """
     F = len(diags)
     common = tuple(max(s[i] for s in field_shapes) for i in range(3))
     X, Y, Z = common
     Yp, Zp = _pad_sublanes(Y), _pad_lanes(Z)
-    n_coefs = sum(len(t) for t in per_axis_terms)
-    # live set: F fields x 3 slabs + F diags + coefs + F outs + temporaries
-    bx = _pick_bx(X, Yp, Zp, n_live=3 * F + F + n_coefs + F + 4)
+    # live set per axis kernel: F fields x 3 slabs + 1 diag + its coefs
+    # + 1 out + temporaries
+    max_coefs = max(len(t) for t in per_axis_terms)
+    bx = _pick_bx(X, Yp, Zp, n_live=3 * F + 1 + max_coefs + 1 + 4)
     Xp = -(-X // bx) * bx
     nblocks = Xp // bx
 
@@ -396,49 +399,53 @@ def make_blocked_coupled_matvec(diags, per_axis_terms, field_shapes):
         )
 
     diag_ps = [pad3(d) for d in diags]
-    coef_ps = []
+    coef_ps = []  # per axis: list of padded coefficient slabs
     table = []
     for a in range(F):
         entries = []
+        cps = []
         for field, off, coef in per_axis_terms[a]:
             assert abs(off[0]) <= 1
             entries.append((field, tuple(int(o) for o in off)))
-            coef_ps.append(pad3(coef))
+            cps.append(pad3(coef))
         table.append(tuple(entries))
+        coef_ps.append(cps)
 
-    def kernel(*refs):
-        # refs: [v_a prev/cur/next]*F, diag*F, coef*n, out*F
-        vs = [
-            (refs[3 * a], refs[3 * a + 1], refs[3 * a + 2])
-            for a in range(F)
-        ]
-        diag_refs = refs[3 * F : 4 * F]
-        coef_refs = refs[4 * F : 4 * F + n_coefs]
-        out_refs = refs[4 * F + n_coefs :]
-        curs = [vs[a][1][:] for a in range(F)]
-        xcache = {}
+    def make_axis_kernel(a):
+        n_c = len(table[a])
 
-        def get(field, sx):
-            key = (field, sx)
-            if key not in xcache:
-                prev_ref, _, next_ref = vs[field]
-                xcache[key] = _xshift_block(
-                    curs[field], prev_ref, next_ref, sx, bx
-                )
-            return xcache[key]
+        def kernel(*refs):
+            # refs: [v prev/cur/next]*F, diag_a, coef*n_c, out
+            vs = [
+                (refs[3 * f], refs[3 * f + 1], refs[3 * f + 2])
+                for f in range(F)
+            ]
+            diag_ref = refs[3 * F]
+            coef_refs = refs[3 * F + 1 : 3 * F + 1 + n_c]
+            out_ref = refs[3 * F + 1 + n_c]
+            curs = [vs[f][1][:] for f in range(F)]
+            xcache = {}
 
-        k = 0
-        for a in range(F):
-            acc = diag_refs[a][:] * curs[a]
-            for field, off in table[a]:
+            def get(field, sx):
+                key = (field, sx)
+                if key not in xcache:
+                    prev_ref, _, next_ref = vs[field]
+                    xcache[key] = _xshift_block(
+                        curs[field], prev_ref, next_ref, sx, bx
+                    )
+                return xcache[key]
+
+            acc = diag_ref[:] * curs[a]
+            for k, (field, off) in enumerate(table[a]):
                 q = get(field, off[0])
                 if off[1]:
                     q = _roll3(q, off[1], 1)
                 if off[2]:
                     q = _roll3(q, off[2], 2)
                 acc = acc + coef_refs[k][:] * q
-                k += 1
-            out_refs[a][:] = acc
+            out_ref[:] = acc
+
+        return kernel
 
     blk = (bx, Yp, Zp)
 
@@ -453,24 +460,26 @@ def make_blocked_coupled_matvec(diags, per_axis_terms, field_shapes):
 
     def matvec(v_fields):
         v_ps = [pad3(v) for v in v_fields]
-        ins = []
-        specs = []
+        field_ins = []
+        field_specs = []
+        for f in range(F):
+            field_ins += [v_ps[f], v_ps[f], v_ps[f]]
+            field_specs += [prev_spec, cur_spec, next_spec]
+        outs = []
         for a in range(F):
-            ins += [v_ps[a], v_ps[a], v_ps[a]]
-            specs += [prev_spec, cur_spec, next_spec]
-        ins += diag_ps + coef_ps
-        specs += [cur_spec] * (F + n_coefs)
-        outs = pl.pallas_call(
-            kernel,
-            grid=(nblocks,),
-            out_shape=[
-                jax.ShapeDtypeStruct((Xp, Yp, Zp), v_fields[0].dtype)
-                for _ in range(F)
-            ],
-            in_specs=specs,
-            out_specs=[cur_spec] * F,
-            interpret=interpret,
-        )(*ins)
+            ins = field_ins + [diag_ps[a]] + coef_ps[a]
+            specs = field_specs + [cur_spec] * (1 + len(coef_ps[a]))
+            out = pl.pallas_call(
+                make_axis_kernel(a),
+                grid=(nblocks,),
+                out_shape=jax.ShapeDtypeStruct(
+                    (Xp, Yp, Zp), v_fields[0].dtype
+                ),
+                in_specs=specs,
+                out_specs=cur_spec,
+                interpret=interpret,
+            )(*ins)
+            outs.append(out)
         return tuple(
             o[: s[0], : s[1], : s[2]]
             for o, s in zip(outs, field_shapes)

@@ -52,52 +52,53 @@ def _matvec(level: _Level, p):
 
 
 def _coarsen(diag, coefs):
-    """Galerkin RAP with piecewise-constant transfers (see module doc)."""
+    """Galerkin RAP with piecewise-constant transfers (see module doc).
+
+    All per-parity (::2) child selections go through one free reshape
+    (row-major (X,Y,Z) -> (X/2,2,...)) per field instead of 2^d strided
+    gathers; masked reductions over the local-index axes express the
+    internal/boundary-children sums."""
     d = diag.ndim
-    diag = _pad_even(diag)
-    coefs = {off: _pad_even(c) for off, c in coefs}
-    shape = diag.shape
 
-    def children(a):  # (2^d) stride-2 views stacked on a new axis
-        views = []
-        import itertools
+    def kids(a):
+        """(coarse..., 2^d) local-child-index-last view, free reshape +
+        one transpose of the tiny local axes."""
+        a = _pad_even(a)
+        shp = []
+        for s_ in a.shape:
+            shp += [s_ // 2, 2]
+        r = a.reshape(shp)
+        # move the d local axes (1,3,5,..) to the back
+        perm = list(range(0, 2 * d, 2)) + list(range(1, 2 * d, 2))
+        return r.transpose(perm)
 
-        for par in itertools.product((0, 1), repeat=d):
-            idx = tuple(slice(p, None, 2) for p in par)
-            views.append(a[idx])
-        return views
+    kd = kids(diag)
+    kcoefs = {off: kids(c) for off, c in coefs}
 
     # coarse diag: sum of child diags + 2 * internal couplings
-    diag_c = sum(children(diag))
+    diag_c = kd.sum(axis=tuple(range(d, 2 * d)))
     for axis in range(d):
         plus = tuple(1 if k == axis else 0 for k in range(d))
-        cplus = coefs[plus]
-        # internal faces: from children with even local index along axis
-        # to their odd sibling: coupling cplus at cells with local par=0
-        import itertools
+        cplus = kcoefs[plus]
+        # children with even local index along `axis` couple to their
+        # odd sibling through cplus
+        diag_c = diag_c + 2.0 * jnp.take(cplus, 0, axis=d + axis).sum(
+            axis=tuple(range(d, 2 * d - 1))
+        )
 
-        for par in itertools.product((0, 1), repeat=d):
-            if par[axis] != 0:
-                continue
-            idx = tuple(slice(p, None, 2) for p in par)
-            diag_c = diag_c + 2.0 * cplus[idx]
-
-    # coarse off-diagonals: sum of the 4 fine couplings crossing the face
+    # coarse off-diagonals: sum of the 2^(d-1) fine couplings crossing
+    # the coarse face (boundary children: local index 1 for +dir, 0 for
+    # -dir along `axis`)
     coefs_c = []
     for axis in range(d):
         for sgn in (+1, -1):
             off = tuple(sgn if k == axis else 0 for k in range(d))
-            cf = coefs[off]
-            acc = None
-            import itertools
-
-            for par in itertools.product((0, 1), repeat=d):
-                # boundary children: local index 1 for +dir, 0 for -dir
-                if par[axis] != (1 if sgn > 0 else 0):
-                    continue
-                idx = tuple(slice(p, None, 2) for p in par)
-                acc = cf[idx] if acc is None else acc + cf[idx]
-            coefs_c.append((off, acc))
+            sel = jnp.take(
+                kcoefs[off], 1 if sgn > 0 else 0, axis=d + axis
+            )
+            coefs_c.append(
+                (off, sel.sum(axis=tuple(range(d, 2 * d - 1))))
+            )
     return diag_c, coefs_c
 
 
@@ -116,25 +117,33 @@ def build_hierarchy(
 
 
 def _restrict(r, coarse_shape):
-    """P^T r: 8-child sum onto the (padded-even) coarse grid."""
+    """P^T r: 2^d-child sum onto the (padded-even) coarse grid.
+
+    Implemented as one free reshape (row-major (X,Y,Z) ->
+    (X/2,2,Y/2,2,Z/2,2)) + one fused reduction.  The per-parity strided
+    (::2) views this replaces compile to 2^d gather ops on TPU — at the
+    top level of a 128^3 hierarchy they alone cost several ms per
+    V-cycle (and the V-cycle runs once per PCG iteration)."""
     d = r.ndim
     r = _pad_even(r)
-    out = None
-    import itertools
-
-    for par in itertools.product((0, 1), repeat=d):
-        idx = tuple(slice(p, None, 2) for p in par)
-        out = r[idx] if out is None else out + r[idx]
-    return out
+    shp = []
+    for s_ in r.shape:
+        shp += [s_ // 2, 2]
+    return r.reshape(shp).sum(axis=tuple(range(1, 2 * d, 2)))
 
 
 def _prolong(e, fine_shape):
-    """P e: inject the parent value into all children."""
+    """P e: inject the parent value into all children (one broadcast +
+    free reshape instead of d successive jnp.repeat relayouts)."""
     d = e.ndim
-    out = e
-    for axis in range(d):
-        out = jnp.repeat(out, 2, axis=axis)
-    return out[tuple(slice(0, s) for s in fine_shape)]
+    shp = []
+    for s_ in e.shape:
+        shp += [s_, 2]
+    out = jnp.broadcast_to(
+        e.reshape(tuple(x for s_ in e.shape for x in (s_, 1))),
+        tuple(shp),
+    ).reshape(tuple(2 * s_ for s_ in e.shape))
+    return out[tuple(slice(0, s_) for s_ in fine_shape)]
 
 
 def _smooth(level: _Level, x, b, iters: int, omega: float):
@@ -178,5 +187,157 @@ def make_mg_preconditioner(
         # CG-active set) would read the drift.  Identity on inactive rows
         # keeps M symmetric positive definite.
         return jnp.where(active, vcycle(0, r), r)
+
+    return precond
+
+
+# ---------------------------------------------------------------------------
+# Batched V-cycle: one cycle for several same-shaped independent systems
+# (the per-axis diagonal blocks of the coupled viscosity operator).  The
+# un-batched per-axis cycles tripled the op count — and the V-cycle is
+# op-count bound on TPU (many small pad/slice/arith ops per level), so
+# batching the axes into a leading dim cuts most of its wall-clock.
+# ---------------------------------------------------------------------------
+
+
+def _pad_to(a, shape, fill=0.0):
+    pads = [(0, t - s) for s, t in zip(a.shape, shape)]
+    if not any(p[1] for p in pads):
+        return a
+    return jnp.pad(a, pads, constant_values=fill)
+
+
+def _bshift(a, off, fill):
+    return shift(a, (0,) + tuple(off), fill)
+
+
+def _brestrict(r):
+    """Child-sum over the trailing d dims (leading dim = batch)."""
+    d = r.ndim - 1
+    r = _pad_even_trailing(r)
+    shp = [r.shape[0]]
+    for s_ in r.shape[1:]:
+        shp += [s_ // 2, 2]
+    return r.reshape(shp).sum(axis=tuple(range(2, 2 * d + 1, 2)))
+
+
+def _pad_even_trailing(a):
+    pads = [(0, 0)] + [(0, s % 2) for s in a.shape[1:]]
+    if any(p[1] for p in pads):
+        return jnp.pad(a, pads)
+    return a
+
+
+def _bprolong(e, fine_shape):
+    shp = [e.shape[0]]
+    view = [e.shape[0]]
+    for s_ in e.shape[1:]:
+        shp += [s_, 2]
+        view += [s_, 1]
+    out = jnp.broadcast_to(e.reshape(view), shp).reshape(
+        (e.shape[0],) + tuple(2 * s_ for s_ in e.shape[1:])
+    )
+    return out[(slice(None),) + tuple(slice(0, s_) for s_ in fine_shape)]
+
+
+def make_batched_mg_preconditioner(
+    systems,
+    *,
+    n_smooth: int = 2,
+    omega: float = 0.8,
+    coarse_iters: int = 24,
+    min_dim: int = 4,
+):
+    """M^{-1} for B independent same-stencil systems in ONE V-cycle.
+
+    ``systems``: list of (diag, coefs) — e.g. the per-axis same-field
+    sub-operators of the viscosity block preconditioner.  Hierarchies are
+    built per system (their shapes differ by ±1 face plane) and stacked
+    per level onto the common padded shape; padded rows carry diag=0
+    (inactive) and identity preconditioning.  Returns a function mapping
+    a list of B residual arrays to B corrected arrays.
+    """
+    def canon(coefs):
+        # canonical (+x,-x,+y,-y,...) order — matches _coarsen's output,
+        # so every level of every hierarchy lines up for stacking
+        def key(item):
+            off = item[0]
+            axis = next(i for i, o in enumerate(off) if o)
+            return (axis, 0 if off[axis] > 0 else 1)
+
+        return sorted(coefs, key=key)
+
+    hiers = [
+        build_hierarchy(diag, canon(coefs), min_dim=min_dim)
+        for diag, coefs in systems
+    ]
+    n_lev = min(len(h) for h in hiers)
+    b = len(hiers)
+    blevels = []
+    for k in range(n_lev):
+        common = tuple(
+            max(h[k].diag.shape[i] for h in hiers)
+            for i in range(hiers[0][k].diag.ndim)
+        )
+        diag = jnp.stack([_pad_to(h[k].diag, common) for h in hiers])
+        safe = jnp.stack(
+            [_pad_to(h[k].safe_diag, common, 1.0) for h in hiers]
+        )
+        # offset ordering is PER LEVEL: level 0 keeps the caller's order,
+        # _coarsen emits (+x,-x,+y,-y,...) — read it from each level
+        offs_k = [off for off, _ in hiers[0][k].coefs]
+        for h in hiers:
+            assert [off for off, _ in h[k].coefs] == offs_k
+        coefs = []
+        for j, off in enumerate(offs_k):
+            coefs.append(
+                (
+                    off,
+                    jnp.stack(
+                        [_pad_to(h[k].coefs[j][1], common) for h in hiers]
+                    ),
+                )
+            )
+        blevels.append(_Level(diag, tuple(coefs), safe))
+
+    def bmatvec(level, p):
+        out = level.diag * p
+        for off, c in level.coefs:
+            out = out + c * _bshift(p, off, 0.0)
+        return out
+
+    def bsmooth(level, x, rhs, iters):
+        for _ in range(iters):
+            r = rhs - bmatvec(level, x)
+            x = x + omega * r / level.safe_diag
+        return x
+
+    def vcycle(k, rhs):
+        level = blevels[k]
+        if k == n_lev - 1:
+            return bsmooth(level, jnp.zeros_like(rhs), rhs, coarse_iters)
+        x = bsmooth(level, jnp.zeros_like(rhs), rhs, n_smooth)
+        r = rhs - bmatvec(level, x)
+        rc = _brestrict(r)[
+            (slice(None),)
+            + tuple(slice(0, s_) for s_ in blevels[k + 1].diag.shape[1:])
+        ]
+        ec = vcycle(k + 1, rc)
+        x = x + _bprolong(ec, rhs.shape[1:])
+        return bsmooth(level, x, rhs, n_smooth)
+
+    active = blevels[0].diag > 0
+    shapes = [h[0].diag.shape for h in hiers]
+    common0 = blevels[0].diag.shape[1:]
+
+    def precond(rs):
+        rb = jnp.stack(
+            [_pad_to(r, common0) for r in rs]
+        )
+        zb = jnp.where(active, vcycle(0, rb), rb)
+        return tuple(
+            zb[i][tuple(slice(0, s_) for s_ in shapes[i])]
+            for i in range(b)
+        )
 
     return precond

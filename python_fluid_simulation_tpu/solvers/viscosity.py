@@ -264,22 +264,21 @@ def make_viscosity_mg_preconditioner(diags, per_axis):
     item 9).
     """
     from python_fluid_simulation_tpu.solvers.multigrid import (
-        make_mg_preconditioner,
+        make_batched_mg_preconditioner,
     )
 
-    pres = []
+    systems = []
     for a in range(len(diags)):
         same = [
             (voff, coef)
             for field, voff, coef in per_axis[a]
             if field == a and sum(abs(o) for o in voff) == 1
         ]
-        pres.append(make_mg_preconditioner(diags[a], same))
-
-    def precond(rs):
-        return tuple(pc(r) for pc, r in zip(pres, rs))
-
-    return precond
+        systems.append((diags[a], same))
+    # ONE batched V-cycle for the three axis blocks: the per-axis cycles
+    # tripled the op count of an op-count-bound computation (measured
+    # ~74 ms per PCG iteration on 64x256x64 coiling)
+    return make_batched_mg_preconditioner(systems)
 
 
 def prepare_viscosity_matvec(

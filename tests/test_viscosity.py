@@ -176,3 +176,52 @@ def test_viscosity_mg_precond_matches_jacobi():
             rtol=5e-3,
             atol=5e-4,
         )
+
+
+def test_batched_mg_matches_per_axis_cycles():
+    """The batched viscosity V-cycle (one cycle for the 3 axis blocks)
+    must equal three independent make_mg_preconditioner cycles."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from python_fluid_simulation_tpu.ops.indexing import split_parity
+    from python_fluid_simulation_tpu.solvers.multigrid import (
+        make_batched_mg_preconditioner,
+        make_mg_preconditioner,
+    )
+    from python_fluid_simulation_tpu.solvers.viscosity import (
+        viscosity_term_fields,
+    )
+
+    rng = np.random.default_rng(2)
+    gres = (10, 12, 10)
+    dual = tuple(2 * n + 1 for n in gres)
+    sphi = jnp.asarray(rng.standard_normal(dual).astype(np.float32))
+    vol = jnp.asarray(rng.random(dual).astype(np.float32)) * 1e-3
+    shapes = [
+        tuple(n + (1 if i == a else 0) for i, n in enumerate(gres))
+        for a in range(3)
+    ]
+    diags, per_axis, _ = viscosity_term_fields(
+        0.2, split_parity(sphi, 3), split_parity(vol, 3), shapes
+    )
+    systems = []
+    for a in range(3):
+        same = [
+            (voff, coef)
+            for field, voff, coef in per_axis[a]
+            if field == a and sum(abs(o) for o in voff) == 1
+        ]
+        systems.append((diags[a], same))
+    batched = make_batched_mg_preconditioner(systems)
+    singles = [make_mg_preconditioner(d, c) for d, c in systems]
+    rs = [
+        jnp.asarray(rng.standard_normal(s).astype(np.float32))
+        for s in shapes
+    ]
+    zb = batched(rs)
+    for a in range(3):
+        zs = singles[a](rs[a])
+        np.testing.assert_allclose(
+            np.asarray(zb[a]), np.asarray(zs), rtol=2e-4, atol=1e-6
+        )
