@@ -170,7 +170,14 @@ def coiling_config(res: int = 256, mu: float = 5.0) -> SimConfig:
     )
     solver = base.solver
     if res >= 96:
-        # Jacobi everywhere: see scaled_buckling_config's rationale
+        # Default stays Jacobi-PCG: early-stage coiling converges in
+        # ~20-110 iterations and runs ~2x faster than with the MG block
+        # preconditioner (209 vs 411 ms/step at 64x256x64, measured).
+        # ONCE THE FLUID POOLS the balance flips: Jacobi grows to ~410
+        # iterations (hitting the 600 cap = unconverged steps, visible
+        # in the per-step SolveStats) while viscosity_precond="mg"
+        # (batched V-cycle) stays at ~28 for the same wall-clock
+        # (512 vs 514 ms/step at t~0.6) — pass it for long runs.
         solver = dataclasses.replace(solver, max_iter=600)
     return dataclasses.replace(base, solver=solver)
 
