@@ -153,3 +153,38 @@ def test_coiling_scene_smoke():
     assert np.all(np.isfinite(np.asarray(final.particles.x)))
     # viscous column starts falling
     assert float(final.particles.v[:, 1].mean()) < 0.0
+
+
+def test_coiling_with_mg_viscosity_matches_jacobi():
+    """viscosity_precond='mg' (batched V-cycle) must reach the same
+    converged step as Jacobi-PCG — the production knob for developed
+    high-viscosity states (README); exercises the batched MG inside the
+    full engine step."""
+    from python_fluid_simulation_tpu.engine.scenes import (
+        coiling_config,
+        coiling_scene,
+    )
+    import dataclasses
+
+    cfg = coiling_config(res=20, mu=5.0)
+    cfg = dataclasses.replace(
+        cfg,
+        solver=dataclasses.replace(
+            cfg.solver, max_iter=500, tol=1e-5, rel_tol=1e-5
+        ),
+    )
+    state = coiling_scene(cfg)
+    jac, mj = simulate(state, cfg, 2)
+    mg_cfg = dataclasses.replace(
+        cfg,
+        solver=dataclasses.replace(cfg.solver, viscosity_precond="mg"),
+    )
+    mg, mm = simulate(state, mg_cfg, 2)
+    assert np.all(np.isfinite(np.asarray(mg.particles.x)))
+    # same linear systems, both solved to tolerance -> same trajectory
+    np.testing.assert_allclose(
+        np.asarray(mg.particles.v),
+        np.asarray(jac.particles.v),
+        atol=5e-3,
+    )
+    assert int(mm["viscosity_iters"][-1]) <= int(mj["viscosity_iters"][-1])
