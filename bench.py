@@ -68,6 +68,15 @@ def main():
     elapsed = time.perf_counter() - t0
 
     steps_per_s = steps / elapsed
+    last_iters = {
+        k: int(v[-1]) for k, v in metrics.items() if k.endswith("_iters")
+    }
+    from python_fluid_simulation_tpu.utils.roofline import roofline
+
+    roof = roofline(
+        cfg.grid.res, n_particles, last_iters,
+        elapsed / steps * 1000, jax.devices()[0].device_kind,
+    )
     out = {
         "metric": (
             f"sim steps/s, 3D buckling {cfg.grid.res[0]}x{cfg.grid.res[1]}"
@@ -77,6 +86,8 @@ def main():
         "value": round(steps_per_s, 4),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 2),
+        "hbm_util": roof.get("hbm_util"),
+        "achieved_gbps": roof.get("achieved_gbps"),
     }
 
     # Attach the recorded big-config runs (BASELINE configs 3/5, measured

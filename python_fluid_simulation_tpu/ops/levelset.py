@@ -69,7 +69,14 @@ def compute_fluid_levelset(
     # positions/ids), then build the 5^d distance channels from the
     # sorted data — reordering a prebuilt (N,125) channel matrix was the
     # dominant cost at 128^3-class particle counts
+    from python_fluid_simulation_tpu.ops.transfers import (
+        padding_dump_ids,
+    )
+
     idx = _flat_index(gi, res)
+    # padding must not share segments with live particles: the windowed
+    # segment-min only folds the first 2^8 rows of a segment
+    idx = padding_dump_ids(idx, pm, res)
     if pm is None:
         sorted_ids, px_s, gi_s = sort_by_segment(idx, px, gi)
         pm_s = None
@@ -154,6 +161,11 @@ def compute_fluid_volume(
         [_corner_weight(w, offs) * pv for offs in corners], axis=-1
     )
     ids, ext = home_ids_extended(gi, dual_res)
+    from python_fluid_simulation_tpu.ops.transfers import (
+        padding_dump_ids,
+    )
+
+    ids = padding_dump_ids(ids, pm, ext)
     sorted_ids, sorted_vals = sort_by_segment(ids, vals)
     size = 1
     for s in ext:
@@ -230,6 +242,11 @@ def compute_fluid_volume_classes(
     vals = jnp.stack(chans, axis=-1)  # (K, 3^d)
 
     ids, ext = home_ids_extended(b, gres)
+    from python_fluid_simulation_tpu.ops.transfers import (
+        padding_dump_ids,
+    )
+
+    ids = padding_dump_ids(ids, pm, ext)
     sorted_ids, sorted_vals = sort_by_segment(ids, vals)
     size = 1
     for e in ext:

@@ -111,6 +111,60 @@ def segment_min_sorted(
     return _place_at_first(vals, sorted_ids, first, num_segments, fill)
 
 
+def segment_broadcast_sorted(
+    table: jnp.ndarray,
+    sorted_ids: jnp.ndarray,
+    max_segment_log2: int = 8,
+) -> jnp.ndarray:
+    """Gather-free ``out[i] = table[sorted_ids[i]]`` for sorted ids.
+
+    The inverse of `segment_sum_sorted`: broadcast one dense row per
+    segment to every element of that segment.  Per-corner ``lax.gather``
+    of grid values onto particles is row-bound on TPU (~tens of useful
+    bytes per gathered row; measured 40% of the 128^3 step, round-2
+    profile) — this replaces it with all-parallel primitives:
+
+      1. one unique-index scatter records each segment's FIRST element
+         position (empty segments get out-of-bounds slots),
+      2. one unique-index scatter places each non-empty segment's table
+         row at that position (``mode='drop'`` discards empty segments),
+      3. a segmented Hillis-Steele prefix sum (masked doubling shifts)
+         propagates the row down the segment — exact because only the
+         first row of each segment is non-zero.
+
+    table: (num_segments, C); sorted_ids: (K,) non-decreasing in
+    [0, num_segments).  Returns (K, C).  Segments longer than
+    2**max_segment_log2 are NOT fully filled — particles-per-cell is
+    bounded by seeding (2^d/cell) and the density projection's 1.5x
+    compression clamp, so 256 is generous (same bound as
+    `segment_min_sorted`).
+    """
+    k = sorted_ids.shape[0]
+    num_segments = table.shape[0]
+    first, _ = _segment_marks(sorted_ids)
+    # segment-first positions, per segment id.  Non-first elements park
+    # in a scratch tail so indices stay unique (parallel scatter); empty
+    # segments keep the out-of-bounds init `k` and drop in step 2.
+    slots = jnp.where(
+        first, sorted_ids, num_segments + jnp.arange(k, dtype=sorted_ids.dtype)
+    )
+    pos_buf = k + jnp.arange(num_segments + k, dtype=jnp.int32)
+    pos_buf = pos_buf.at[slots].set(
+        jnp.arange(k, dtype=jnp.int32), unique_indices=True
+    )
+    pos = pos_buf[:num_segments]
+    vals = jnp.zeros((k,) + table.shape[1:], table.dtype)
+    vals = vals.at[pos].set(table, mode="drop", unique_indices=True)
+    # segmented inclusive prefix sum by doubling: within a segment only
+    # the first row is non-zero, so the scan result IS the broadcast
+    for p in range(max_segment_log2):
+        s = 1 << p
+        nvals = shift(vals, (-s,) + (0,) * (vals.ndim - 1), 0.0)
+        nids = shift(sorted_ids, (-s,), -1)
+        vals = vals + jnp.where(_bcast(nids == sorted_ids, vals), nvals, 0.0)
+    return vals
+
+
 def _place_at_first(values, sorted_ids, first, num_segments, fill):
     k = sorted_ids.shape[0]
     slots = jnp.where(
@@ -192,6 +246,7 @@ def fold_scattered_sep(
     out_shape: Sequence[int],
     combine: str = "add",
     fill=0.0,
+    noclip_axes: Sequence[int] = (),
 ) -> jnp.ndarray:
     """`fold_scattered` for a CARTESIAN-PRODUCT shift set, folded
     separably: channel k = lexicographic product(axis_shifts) index.
@@ -229,7 +284,9 @@ def fold_scattered_sep(
             else:
                 acc = jnp.minimum(acc, piece)
         cur = acc
-    return fold_clip(cur, tuple(min_s), out_shape, combine, fill)
+    return fold_clip(
+        cur, tuple(min_s), out_shape, combine, fill, noclip_axes
+    )
 
 
 def channels_first(seg_mc: jnp.ndarray, grid_shape: Sequence[int]) -> jnp.ndarray:
@@ -245,6 +302,7 @@ def fold_clip(
     out_shape: Sequence[int],
     combine: str = "add",
     fill=0.0,
+    noclip_axes: Sequence[int] = (),
 ) -> jnp.ndarray:
     """Redistribute `field` onto targets t = clip(c + shift, 0, out_n-1)
     per axis, reducing all clipped planes into the edge rows.
@@ -254,9 +312,19 @@ def fold_clip(
     operation.  Separable (the clip is per-axis independent), so axes
     fold sequentially.  Targets no source plane reaches get `fill`.
     Trailing dims of `field` beyond len(shifts) are channels.
+
+    Axes in ``noclip_axes`` are returned EXTENDED (the accumulated
+    field's full extent, no border clamping; out_shape's entry for such
+    an axis must equal the extended size) — the spatially-sharded
+    transfers clamp only at true domain boundaries and hand interior
+    border planes to the neighbouring shard instead (parallel/
+    particles.py halo folds).
     """
     out = field
     for axis, (s, out_n) in enumerate(zip(shifts, out_shape)):
+        if axis in noclip_axes:
+            assert out.shape[axis] == out_n, (out.shape, axis, out_n)
+            continue
         s = int(s)
         n = out.shape[axis]
 

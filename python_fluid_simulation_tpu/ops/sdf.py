@@ -127,6 +127,21 @@ class RigidBodySet:
         return jnp.asarray(np.stack(self._blocks), dtype=dtype)
 
 
+def advance_rigid_bodies(rb: jnp.ndarray, dt) -> jnp.ndarray:
+    """Advance every body's translation by its velocity row: T += v·dt.
+
+    The jit-compatible core of per-step body animation.  The reference
+    exposes host-side ``transform_rb``/``set_vel_rb`` (sdf3D.py:329-336)
+    but never drives them per step; here linear motion runs inside the
+    jitted step (``SimConfig.moving_solid``), and arbitrary host-driven
+    transforms remain available via `RigidBodySet.transform` between
+    simulate() blocks (geometry is re-evaluated on re-entry)."""
+    if rb.shape[0] == 0:
+        return rb
+    vel = rb[:, 9, 0:3]
+    return rb.at[:, 1:4, 3].add(vel * dt)
+
+
 # ---------------------------------------------------------------------------
 # Decoding helpers
 # ---------------------------------------------------------------------------

@@ -22,9 +22,26 @@ Faithful reference quirks preserved:
 from __future__ import annotations
 
 import itertools
-from typing import Sequence, Tuple
+from typing import NamedTuple, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
+
+
+class SortInfo(NamedTuple):
+    """A cell-sort of the particle set, reusable across transfers.
+
+    One argsort serves P2G *and* G2P (same positions: the step moves
+    particles only in advection and the density apply, both before P2G),
+    and likewise the density mass scatter and its displacement gather.
+    ``px_sorted`` rides the payload take of the producing scatter so the
+    consumer never re-gathers positions.
+    """
+
+    sorted_ids: jnp.ndarray  # (K,) non-decreasing extended-grid cell ids
+    order: jnp.ndarray  # (K,) permutation: sorted[i] = orig[order[i]]
+    ext: Tuple[int, ...]  # extended grid shape the ids index
+    px_sorted: jnp.ndarray  # (K, d) positions in sorted order
 
 
 def _corner_setup(px, bound_min, cell_size, bias):
@@ -53,6 +70,29 @@ def _flat_index(gi_corner, shape):
     for d in range(1, len(shape)):
         idx = idx * shape[d] + gi_corner[:, d]
     return idx
+
+
+def padding_dump_ids(ids, pm, grid_shape):
+    """Redirect zero-mass padding rows to DISTINCT out-of-range segment
+    ids (scatters drop them; argsort puts them last).
+
+    Padding particles (the engine-wide m=0 convention for sharded /
+    bucketed particle arrays) all share one position, so they would form
+    one giant segment at that home cell.  Segment SUMS are exact at any
+    length (their channel values are zero anyway), but the windowed
+    level-set min (`segment_min_sorted`) and the grid→particle segment
+    broadcast (`segment_broadcast_sorted`) only fill the first
+    2^max_segment_log2 rows of a segment — a LIVE particle sorted behind
+    hundreds of padding rows in the same cell was silently starved.
+    """
+    if pm is None:
+        return ids
+    size = 1
+    for s in grid_shape:
+        size *= int(s)
+    k = ids.shape[0]
+    dump = size + k + jnp.arange(k, dtype=ids.dtype)
+    return jnp.where(pm > 0, ids, dump)
 
 
 def p2g_axis(
@@ -124,60 +164,22 @@ def p2g_axis(
     return gm, gv
 
 
-def p2g_all(
-    px: jnp.ndarray,
-    pm: jnp.ndarray,
-    pv: jnp.ndarray,
-    pc: jnp.ndarray,
-    gres: Sequence[int],
-    face_shapes: Sequence[Sequence[int]],
-    biases: Sequence[Sequence[float]],
-    bound_min: Sequence[float],
-    cell_size: Sequence[float],
-    volume=None,
-):
-    """All axes' P2G in ONE sort + segmented sum + dense placement.
+def _p2g_channels(px, pm, pv, pc, biases, bound_min, cell_size, volume):
+    """Per-particle channel blocks shared by `p2g_all` and the sharded
+    bucketed path (parallel/particles.py): all axes' (mass, momentum)
+    corner channels rebased onto the bias-0 home + optional dual-lattice
+    volume channels.  Returns (blocks, specs, vol_rs, gi0).
 
-    Numerically equivalent to three `p2g_axis` calls (same kernels,
-    cell 2 :96-177) up to summation order: every axis' staggered home
-    cell is rebased onto the bias-0 home b0 = floor(t) — exact, since
-    floor(t - 0.5) in {b0 - 1, b0} — so one sort over b0-ids serves all
-    axes, with the corner offsets widened to {-1,0,1} on biased axes
-    (weights vanish on the inapplicable offset).  Why: the TPU scatter
-    underlying the dense placement costs ~18 ms per call at 128^3
-    (row-bound, not byte-bound, measured); one 108-channel scatter
-    replaces three 16-channel ones.
-
-    ``pc`` is the full (K, d, d) affine matrix (rows = components).
-    Returns (gm_list, gv_list) on the face shapes.
-
-    ``volume=(pvol, fine_cell_size)`` additionally emits the dual-lattice
-    fluid-volume field as parity-class grids (see
-    `ops/levelset.compute_fluid_volume_classes`) from the SAME sort and
-    the SAME dense placement — the fine home is derived from the bias-0
-    fractional position (s = floor(2*w0)), so the volume channels ride
-    the p2g scatter for free; returns (gm_list, gv_list, vol_classes).
-    [A standalone 27-channel placement was assigned a transposed layout
-    by XLA and cost 47 ms/step at 128^3; appended to the 108-channel
-    p2g placement the whole thing is ~5 ms.]
+    Channel construction is VECTORIZED over the channel dim: (K, n_ch)
+    blocks, never (K,) columns — a python-per-channel loop left ~135
+    separately-materialised f32[K,1] buffers in a standalone jit, each
+    lane-padded 128x (23 GB of HBM at 356k particles; inside the fused
+    step XLA fuses them away, but the program must stand alone too).
     """
-    from python_fluid_simulation_tpu.ops.scatter import (
-        channels_first,
-        fold_scattered_sep,
-        home_ids_extended,
-        segment_sum_sorted,
-        sort_by_segment,
-    )
-
     d = px.shape[-1]
     h = jnp.asarray(cell_size, dtype=px.dtype)
     gi0, _, w0 = _corner_setup(px, bound_min, cell_size, (0.0,) * d)
 
-    # channel construction VECTORIZED over the channel dim: (K, n_ch)
-    # blocks, never (K,) columns — a python-per-channel loop left ~135
-    # separately-materialised f32[K,1] buffers in a standalone jit, each
-    # lane-padded 128x (23 GB of HBM at 356k particles; inside the fused
-    # step XLA fuses them away, but the program must stand alone too)
     blocks = []
     specs = []  # (axis, channel_offset_tuple) per PAIR of channels
     for a in range(d):
@@ -231,11 +233,81 @@ def p2g_all(
             ),
         )
         blocks.append(jnp.prod(ua, axis=-1) * pv_vol[:, None])
+    return blocks, specs, vol_rs, gi0
 
-    vals = jnp.concatenate(blocks, axis=-1)  # (K, 2*sum(C_a) [+ 3^d])
+
+def p2g_all(
+    px: jnp.ndarray,
+    pm: jnp.ndarray,
+    pv: jnp.ndarray,
+    pc: jnp.ndarray,
+    gres: Sequence[int],
+    face_shapes: Sequence[Sequence[int]],
+    biases: Sequence[Sequence[float]],
+    bound_min: Sequence[float],
+    cell_size: Sequence[float],
+    volume=None,
+    with_sort_info: bool = False,
+):
+    """All axes' P2G in ONE sort + segmented sum + dense placement.
+
+    Numerically equivalent to three `p2g_axis` calls (same kernels,
+    cell 2 :96-177) up to summation order: every axis' staggered home
+    cell is rebased onto the bias-0 home b0 = floor(t) — exact, since
+    floor(t - 0.5) in {b0 - 1, b0} — so one sort over b0-ids serves all
+    axes, with the corner offsets widened to {-1,0,1} on biased axes
+    (weights vanish on the inapplicable offset).  Why: the TPU scatter
+    underlying the dense placement costs ~18 ms per call at 128^3
+    (row-bound, not byte-bound, measured); one 108-channel scatter
+    replaces three 16-channel ones.
+
+    ``pc`` is the full (K, d, d) affine matrix (rows = components).
+    Returns (gm_list, gv_list) on the face shapes.
+
+    ``volume=(pvol, fine_cell_size)`` additionally emits the dual-lattice
+    fluid-volume field as parity-class grids (see
+    `ops/levelset.compute_fluid_volume_classes`) from the SAME sort and
+    the SAME dense placement — the fine home is derived from the bias-0
+    fractional position (s = floor(2*w0)), so the volume channels ride
+    the p2g scatter for free; returns (gm_list, gv_list, vol_classes).
+    [A standalone 27-channel placement was assigned a transposed layout
+    by XLA and cost 47 ms/step at 128^3; appended to the 108-channel
+    p2g placement the whole thing is ~5 ms.]
+    """
+    from python_fluid_simulation_tpu.ops.scatter import (
+        channels_first,
+        fold_scattered_sep,
+        home_ids_extended,
+        segment_sum_sorted,
+        sort_by_segment,
+    )
+
+    d = px.shape[-1]
+    blocks, specs, vol_rs, gi0 = _p2g_channels(
+        px, pm, pv, pc, biases, bound_min, cell_size, volume
+    )
+    n_payload = sum(b.shape[-1] for b in blocks)
+    if with_sort_info:
+        # positions ride the payload take: G2P's segment-broadcast path
+        # (`g2p_all`) needs sorted positions and this costs 3 extra
+        # columns on a take that already moves ~111
+        blocks.append(px)
+    vals = jnp.concatenate(blocks, axis=-1)  # (K, 2*sum(C_a) [+ 3^d] [+ d])
 
     ids, ext = home_ids_extended(gi0, gres)
-    sorted_ids, sorted_vals = sort_by_segment(ids, vals)
+    ids = padding_dump_ids(ids, pm, ext)
+    order = jnp.argsort(ids)
+    sorted_ids = ids[order]
+    sorted_vals = vals[order]
+    sort_info = None
+    if with_sort_info:
+        sort_info = SortInfo(
+            sorted_ids=sorted_ids,
+            order=order,
+            ext=ext,
+            px_sorted=sorted_vals[:, n_payload:],
+        )
+        sorted_vals = sorted_vals[:, :n_payload]
     size = 1
     for s in ext:
         size *= s
@@ -267,11 +339,13 @@ def p2g_all(
         gms.append(gm)
         gvs.append(gv)
     if volume is None:
+        if with_sort_info:
+            return gms, gvs, sort_info
         return gms, gvs
 
     n_p2g = 2 * len(specs)
     fine_vol = 1.0
-    for c in fine_cell_size:
+    for c in volume[1]:
         fine_vol *= c
     classes = {}
     for p in itertools.product((0, 1), repeat=d):
@@ -286,7 +360,130 @@ def p2g_all(
         sub = seg_cf[jnp.asarray([n_p2g + i for i in sel])]
         vol = fold_scattered_sep(sub, axis_shifts, class_res, "add", 0.0)
         classes[p] = jnp.minimum(vol, fine_vol)
+    if with_sort_info:
+        return gms, gvs, classes, sort_info
     return gms, gvs, classes
+
+
+def _g2p_offsets(biases, d):
+    """Corner-offset channel lists per axis, rebased onto the bias-0
+    home (biased dims widen to {-1,0,1})."""
+    out = []
+    for a in range(d):
+        offs_range = [
+            (-1, 0, 1) if biases[a][k] != 0.0 else (0, 1) for k in range(d)
+        ]
+        out.append(list(itertools.product(*offs_range)))
+    return out
+
+
+def _g2p_reduce(vals, px_s, offs_lists, biases, bound_min, cell_size):
+    """Weights & affine-gradient factors applied to broadcast corner
+    values, in sorted space.  Shared by `g2p_all` and the sharded
+    bucketed path.  Returns (K, d*(1+d)): per axis [pv_a, pc_a0..d]."""
+    d = px_s.shape[-1]
+    h = jnp.asarray(cell_size, dtype=px_s.dtype)
+    gi0, _, _ = _corner_setup(px_s, bound_min, cell_size, (0.0,) * d)
+    outs = []
+    col = 0
+    for a in range(d):
+        gi_a, _, w_a = _corner_setup(px_s, bound_min, cell_size, biases[a])
+        delta = gi_a - gi0  # in {-1, 0} per axis, exact
+        offs_arr = jnp.asarray(offs_lists[a], jnp.int32)  # (C, d)
+        o = offs_arr[None, :, :] - delta[:, None, :]  # (K, C, d)
+        wd = jnp.where(
+            o == 0, (1.0 - w_a)[:, None, :],
+            jnp.where(o == 1, w_a[:, None, :], 0.0),
+        )
+        v_a = vals[:, col : col + len(offs_lists[a])]
+        col += len(offs_lists[a])
+        weight = jnp.prod(wd, axis=-1)
+        outs.append(jnp.sum(weight * v_a, axis=-1))  # pv_a
+        # affine-gradient row: dim k swaps wd_k for the signed unit
+        # derivative (cell 3 :196-205); invalid offsets contribute 0
+        sign = jnp.where(o == 1, 1.0, jnp.where(o == 0, -1.0, 0.0))
+        for k in range(d):
+            g = sign[:, :, k]
+            for j in range(d):
+                if j != k:
+                    g = g * wd[:, :, j]
+            outs.append(jnp.sum(g * v_a, axis=-1) / h[k])
+    return jnp.stack(outs, axis=-1)  # (K, d*(1+d))
+
+
+def g2p_all(
+    gvs: Sequence[jnp.ndarray],
+    gres: Sequence[int],
+    biases: Sequence[Sequence[float]],
+    bound_min: Sequence[float],
+    cell_size: Sequence[float],
+    sort_info: "SortInfo",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """All-axes G2P without a single ``lax.gather``.
+
+    Numerically equivalent to d× `g2p_axis` (reference g2p_particle,
+    cell 3 :174-209) up to fp summation order.  Per-corner gathers are
+    row-bound on TPU (~4 useful bytes per gathered row; 72 ms/step of
+    the 351 ms 128^3 step, round-2 profile).  Instead: every corner
+    value a particle can need is a *clamped static shift* of the face
+    grid evaluated at the particle's bias-0 home cell — so build one
+    dense per-cell table of all (axis, offset) corner values and
+    broadcast rows to the cell-sorted particles with
+    `segment_broadcast_sorted` (scatter + segmented scan, all parallel).
+    Staggered homes are rebased onto the bias-0 home exactly as in
+    `p2g_all`: offsets widen to {-1,0,1} on biased dims and the weight
+    formula zeroes the inapplicable one per particle.
+
+    ``sort_info`` is the cell-sort produced by `p2g_all` over the SAME
+    positions (the step doesn't move particles between P2G and G2P —
+    cell 13 :4597/:4660).
+    """
+    d = len(gres)
+    sorted_ids, order, ext, px_s = (
+        sort_info.sorted_ids,
+        sort_info.order,
+        sort_info.ext,
+        sort_info.px_sorted,
+    )
+
+    # -- dense corner-value tables on the extended (n+2)^d home grid.
+    # channel (a, o): gv_a[clip(c + o, 0, gres-1)] at home cell c — the
+    # clamp applies to the SUM, so a clamped shift is exact (and the
+    # trailing face plane is never read: reference clamps to gres-1,
+    # cell 3 :190-193).
+    chans = []
+    offs_lists = _g2p_offsets(biases, d)
+    for a in range(d):
+        base = gvs[a][tuple(slice(0, int(n)) for n in gres)]
+        padded = jnp.pad(base, 2, mode="edge")
+        for o in offs_lists[a]:
+            # padded[j] = base[clip(j-2, 0, n-1)]; channel[e] =
+            # base[clip((e-1) + o, 0, n-1)] = padded[e + 1 + o]
+            win = jax.lax.slice(
+                padded,
+                [1 + oo for oo in o],
+                [1 + oo + int(e) for oo, e in zip(o, ext)],
+            )
+            chans.append(win.reshape(-1))
+    table = jnp.stack(chans, axis=-1)  # (M, C_total)
+
+    from python_fluid_simulation_tpu.ops.scatter import (
+        segment_broadcast_sorted,
+    )
+
+    vals = segment_broadcast_sorted(table, sorted_ids)  # (K, C_total)
+    res_sorted = _g2p_reduce(
+        vals, px_s, offs_lists, biases, bound_min, cell_size
+    )
+    res = jnp.zeros_like(res_sorted).at[order].set(
+        res_sorted, unique_indices=True
+    )
+    pv = res[:, 0 :: (1 + d)]
+    pc = jnp.stack(
+        [res[:, a * (1 + d) + 1 : (a + 1) * (1 + d)] for a in range(d)],
+        axis=1,
+    )
+    return pv, pc
 
 
 def g2p_axis(

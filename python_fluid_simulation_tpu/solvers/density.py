@@ -48,18 +48,22 @@ def scatter_mass_volume(
     gres: Sequence[int],
     bound_min: Sequence[float],
     cell_size: Sequence[float],
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    with_sort_info: bool = False,
+):
     """Cell-center trilinear scatter of particle mass and volume.
 
     Reference: initialize_density_kernel (DensityCGSolver3D.py:8-36).
+    With ``with_sort_info`` also returns the cell sort (over CENTER
+    homes, bias 0.5) for reuse by `apply_displacement_all` — positions
+    don't change between this scatter and the displacement gather.
     """
     from python_fluid_simulation_tpu.ops.scatter import (
         channels_first,
         fold_scattered_sep,
         home_ids_extended,
         segment_sum_sorted,
-        sort_by_segment,
     )
+    from python_fluid_simulation_tpu.ops.transfers import SortInfo
 
     d = px.shape[-1]
     gi, _, w = _corner_setup(px, bound_min, cell_size, (0.5,) * d)
@@ -73,10 +77,31 @@ def scatter_mass_volume(
         weight = _corner_weight(w, offs)
         chans.append(weight * pm)
         chans.append(weight * pv)
+    n_payload = 2 * len(corners)
+    if with_sort_info:
+        chans.extend(px[:, a] for a in range(d))
     vals = jnp.stack(chans, axis=-1)
 
+    from python_fluid_simulation_tpu.ops.transfers import (
+        padding_dump_ids,
+    )
+
     ids, ext = home_ids_extended(gi, gres)
-    sorted_ids, sorted_vals = sort_by_segment(ids, vals)
+    # zero-mass padding rows must not share segments with live particles
+    # (they starve the displacement segment-broadcast; transfers.py)
+    ids = padding_dump_ids(ids, pm, ext)
+    order = jnp.argsort(ids)
+    sorted_ids = ids[order]
+    sorted_vals = vals[order]
+    sort_info = None
+    if with_sort_info:
+        sort_info = SortInfo(
+            sorted_ids=sorted_ids,
+            order=order,
+            ext=ext,
+            px_sorted=sorted_vals[:, n_payload:],
+        )
+        sorted_vals = sorted_vals[:, :n_payload]
     size = 1
     for s in ext:
         size *= s
@@ -89,6 +114,8 @@ def scatter_mass_volume(
     gvol = fold_scattered_sep(
         seg_cf[1::2], [(-1, 0)] * d, tuple(gres), "add", 0.0
     )
+    if with_sort_info:
+        return gm, gvol, sort_info
     return gm, gvol
 
 
@@ -341,6 +368,82 @@ def apply_displacement(
     return new_px
 
 
+def apply_displacement_all(
+    disp_faces: Sequence[jnp.ndarray],
+    sort_info,
+    bound_min: Sequence[float],
+    cell_size: Sequence[float],
+) -> jnp.ndarray:
+    """Gather-free `apply_displacement`: per-particle displacement via
+    segment broadcast over the density scatter's cell sort.
+
+    Numerically equivalent to `apply_displacement` up to fp summation
+    order (that path was 73 ms/step of the 351 ms 128^3 step — per-corner
+    row-bound gathers, round-2 profile).  Same construction as
+    `transfers.g2p_all`: each corner value is a clamped static shift of
+    the face array evaluated at the particle's CENTER home cell (bias
+    0.5, the sort key of `scatter_mass_volume`); the face-biased home is
+    rebased exactly — own-axis home = center home + {0,1}, transverse
+    identical — so own-axis offsets widen to {0,1,2}.  The clamp here is
+    to the *face array* dims (DensityCGSolver3D.py:232-234), unlike
+    G2P's base-resolution clamp.
+
+    Returns the (K, d) displacement in ORIGINAL particle order.
+    """
+    import itertools as _it
+
+    import jax
+
+    from python_fluid_simulation_tpu.ops.scatter import (
+        segment_broadcast_sorted,
+    )
+
+    px_s = sort_info.px_sorted
+    d = px_s.shape[-1]
+    ext = sort_info.ext
+
+    chans = []
+    offs_lists = []
+    for a in range(d):
+        arr = disp_faces[a]
+        padded = jnp.pad(arr, 2, mode="edge")
+        offs_range = [
+            (0, 1, 2) if k == a else (0, 1) for k in range(d)
+        ]
+        offs_list = list(_it.product(*offs_range))
+        offs_lists.append(offs_list)
+        for o in offs_list:
+            win = jax.lax.slice(
+                padded,
+                [1 + oo for oo in o],
+                [1 + oo + int(e) for oo, e in zip(o, ext)],
+            )
+            chans.append(win.reshape(-1))
+    table = jnp.stack(chans, axis=-1)
+    vals = segment_broadcast_sorted(table, sort_info.sorted_ids)
+
+    gi_c, _, _ = _corner_setup(px_s, bound_min, cell_size, (0.5,) * d)
+    outs = []
+    col = 0
+    for a in range(d):
+        bias = _face_bias(a, d)
+        gi_a, _, w_a = _corner_setup(px_s, bound_min, cell_size, bias)
+        delta = gi_a - gi_c  # {0,1} on own axis, 0 transverse — exact
+        offs_arr = jnp.asarray(offs_lists[a], jnp.int32)
+        o = offs_arr[None, :, :] - delta[:, None, :]
+        wd = jnp.where(
+            o == 0, (1.0 - w_a)[:, None, :],
+            jnp.where(o == 1, w_a[:, None, :], 0.0),
+        )
+        v_a = vals[:, col : col + len(offs_lists[a])]
+        col += len(offs_lists[a])
+        outs.append(jnp.sum(jnp.prod(wd, axis=-1) * v_a, axis=-1))
+    disp_sorted = jnp.stack(outs, axis=-1)
+    return jnp.zeros_like(disp_sorted).at[sort_info.order].set(
+        disp_sorted, unique_indices=True
+    )
+
+
 class DensityResult(NamedTuple):
     px: jnp.ndarray
     stats: SolveStats
@@ -366,14 +469,31 @@ def density_solve_3d(
     use_pallas: str = "auto",
     precond_kind: str = "jacobi",
     mesh=None,
+    bucket=None,
 ) -> DensityResult:
     """Full density projection; returns moved particle positions.
 
     Reference: DensityCGSolver3D.solve (:312-350) — initial guess x = 0.
+    ``bucket=(mesh, BucketSpec)`` switches the particle scatter and the
+    displacement gather to the shard-local bucketed transfers
+    (parallel/particles.py); the CG solve itself is already distributed
+    via ``mesh``.
     """
     gres = lphi.shape
     d = len(gres)
-    gm, gvol = scatter_mass_volume(px, pm, pvol, gres, bound_min, cell_size)
+    if bucket is not None:
+        from python_fluid_simulation_tpu.parallel.particles import (
+            sharded_scatter_mass_volume,
+        )
+
+        gm, gvol, sort_info = sharded_scatter_mass_volume(
+            px, pm, bucket[0], bucket[1], gres, pvol, bound_min,
+            cell_size,
+        )
+    else:
+        gm, gvol, sort_info = scatter_mass_volume(
+            px, pm, pvol, gres, bound_min, cell_size, with_sort_info=True
+        )
     gvol = fix_volume(gvol, sphi, lphi, w_faces, cell_size)
     b = density_rhs(rho0, dt, gm, gvol, lphi, w_faces, cell_size)
 
@@ -393,7 +513,19 @@ def density_solve_3d(
         for a in range(d)
     ]
     disp = compute_displacement(x, lphi, dt, cell_size, face_shapes)
-    new_px = apply_displacement(px, disp, bound_min, cell_size)
+    if bucket is not None:
+        from python_fluid_simulation_tpu.parallel.particles import (
+            sharded_apply_displacement,
+        )
+
+        new_px = px + sharded_apply_displacement(
+            disp, bucket[0], bucket[1], gres, bound_min, cell_size,
+            sort_info,
+        )
+    else:
+        new_px = px + apply_displacement_all(
+            disp, sort_info, bound_min, cell_size
+        )
     return DensityResult(new_px, stats)
 
 

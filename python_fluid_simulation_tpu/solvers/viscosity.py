@@ -360,6 +360,7 @@ def viscosity_solve_3d(
     mesh=None,
     precond_kind: str = "jacobi",
     warm_start=None,
+    auto_use_mg=None,
 ) -> ViscosityResult:
     """Full implicit viscosity solve.
 
@@ -487,27 +488,52 @@ def viscosity_solve_3d(
             use_pallas=use_pallas, fields=fields,
         )
 
-        precond = None
-        if precond_kind == "mg":
-            precond = make_viscosity_mg_preconditioner(
-                fields[0], fields[1]
-            )
-        elif jacobi_precond:
-
-            def precond(rs):  # noqa: F811
-                return tuple(r / dd for r, dd in zip(rs, diag))
+        def jac(rs):
+            return tuple(r / dd for r, dd in zip(rs, diag))
 
         if warm_start is not None:
             x0 = _rescaled_warm_start(matvec)
-        x, stats = cg(
-            matvec,
-            b,
-            x0,
-            tol=tol,
-            rel_tol=rel_tol,
-            max_iter=max_iter,
-            precond=precond,
-        )
+
+        if precond_kind == "auto" and auto_use_mg is not None:
+            # Hysteresis preconditioner selection, driven by the caller
+            # (the engine carries the previous step's iteration count in
+            # SimState.visc_mg).  Jacobi-PCG is ~2x faster per iteration
+            # than the batched-MG block preconditioner and wins in the
+            # early regime, but its iteration count explodes once the
+            # high-mu fluid pools (410+ hitting the cap = silently
+            # under-solved steps) while MG stays ~flat — the regime is
+            # persistent, so last step's count is the reliable signal.
+            # (An in-step rate probe was tried first and misfires:
+            # Jacobi's early-iteration plateau projects inflated counts
+            # and MG is ~2x WORSE in the early regime — measured 640 vs
+            # 253 ms/step on TPU coiling-256.)
+            mg = make_viscosity_mg_preconditioner(fields[0], fields[1])
+
+            def precond(rs):
+                return jax.lax.cond(auto_use_mg, mg, jac, rs)
+
+            x, stats = cg(
+                matvec, b, x0,
+                tol=tol, rel_tol=rel_tol, max_iter=max_iter,
+                precond=precond,
+            )
+        else:
+            precond = None
+            if precond_kind == "mg":
+                precond = make_viscosity_mg_preconditioner(
+                    fields[0], fields[1]
+                )
+            elif jacobi_precond:
+                precond = jac
+            x, stats = cg(
+                matvec,
+                b,
+                x0,
+                tol=tol,
+                rel_tol=rel_tol,
+                max_iter=max_iter,
+                precond=precond,
+            )
 
     out = []
     for a in range(d):

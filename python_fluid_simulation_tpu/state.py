@@ -53,6 +53,13 @@ class SimState(NamedTuple):
     solid: SolidState
     t: jnp.ndarray  # scalar f32 simulated time
     step_idx: jnp.ndarray  # scalar i32
+    # viscosity preconditioner hysteresis flag (0 = Jacobi, 1 = MG) for
+    # SolverConfig.viscosity_precond='auto': high-mu scenes flip regime
+    # when the fluid pools (Jacobi-PCG iteration counts explode past the
+    # cap while the MG block preconditioner stays ~flat); the previous
+    # step's iteration count drives the switch.  Plain 0 default keeps
+    # old construction sites valid; the engine coerces to i32.
+    visc_mg: jnp.ndarray | int = 0
 
 
 def make_solid_state(cfg: SimConfig, rbs: "sdf3d.RigidBodySet") -> SolidState:

@@ -121,6 +121,8 @@ def restore_checkpoint(
         data = np.load(os.path.join(path, f"state_{step}.npz"))
         flat = [data[k] for k in data.files]
         template = _template_treedef()
+        if len(flat) == template.num_leaves - 1:
+            flat.append(np.int32(0))  # pre-visc_mg checkpoints
         state = jax.tree.unflatten(template, flat)
     return state, cfg, step
 
@@ -131,6 +133,7 @@ def _template_treedef():
         solid=SolidState(phi=0, v=0, rb=0),
         t=0,
         step_idx=0,
+        visc_mg=0,
     )
     return jax.tree.structure(dummy)
 
@@ -145,4 +148,5 @@ def _rebuild(raw) -> SimState:
         solid=SolidState(phi=s["phi"], v=s["v"], rb=s["rb"]),
         t=raw["t"],
         step_idx=raw["step_idx"],
+        visc_mg=raw.get("visc_mg", 0),
     )

@@ -1,0 +1,122 @@
+"""HBM-bandwidth roofline model for one engine step.
+
+The step is bandwidth-bound on TPU (the only MXU work is the optional
+UNet), so "is N ms/step good?" is answered by comparing the bytes the
+algorithm must move per step against the chip's HBM peak.  This module
+models a LOWER BOUND on per-step HBM traffic from the grid/particle
+sizes and the measured CG iteration counts, and converts a measured
+ms/step into achieved GB/s and utilisation.
+
+Model assumptions (all fp32 = 4 B; K = particles, Nc = prod(res) cells,
+Nf ≈ 3·Nc face sites, Nd ≈ 8·Nc dual-lattice sites):
+  * CG iterations dominate: each cell-Poisson PCG iteration streams the
+    7-point coefficient fields (diag + 6 offsets) and touches the x/r/d/z
+    vectors (state held in VMEM by the fused Pallas kernel, so vectors
+    count once as read+write): ~(7+2)·Nc reads+writes.
+  * each coupled viscosity PCG iteration streams per axis the diagonal +
+    14 term coefficients plus vector traffic: ~(15+2)·Nf.
+  * transfers (P2G merged scatter, G2P broadcast, levelset ×2, density
+    scatter/gather): each is a sort (≈4 passes over K·8 B for the radix
+    argsort + payload take) + channel matrices ~K·C·4 with C≈64-128
+    lanes after padding, + dense grids.  Modelled as the measured channel
+    widths of the implementation.
+  * geometry (GeomCache) is hoisted out of the step and not counted.
+
+This is a floor, not an exact count — fusion can beat single terms and
+relayouts can exceed them; utilisations are meaningful to ~±30%.
+"""
+
+from __future__ import annotations
+
+# Advertised HBM peak bandwidth per chip generation (GB/s).
+_PEAK_GBPS = {
+    "v4": 1228.0,
+    "v5e": 819.0,
+    "v5lite": 819.0,  # device_kind "TPU v5 lite"
+    "v5p": 2765.0,
+    "v6e": 1640.0,
+    "v6": 1640.0,
+}
+
+
+def chip_peak_gbps(device_kind: str | None) -> float | None:
+    if not device_kind:
+        return None
+    k = (
+        device_kind.lower().replace("tpu", "").replace(" ", "")
+        .strip("_-")
+    )
+    for key, v in _PEAK_GBPS.items():
+        if k.startswith(key):
+            return v
+    return None
+
+
+def step_bytes_model(
+    res,
+    particles: int,
+    iters: dict,
+    unet: bool = False,
+) -> dict:
+    """Modeled HBM bytes of one step.  ``iters`` carries the per-solver
+    CG iteration counts (e.g. the bench's cg_iters_last_step)."""
+    B = 4
+    nc = 1
+    for n in res:
+        nc *= int(n)
+    nf = 3 * nc
+    k = int(particles)
+
+    p_it = int(iters.get("pressure_iters", 0))
+    d_it = int(iters.get("density_iters", 0))
+    v_it = int(iters.get("viscosity_iters", 0))
+
+    # implicit solves
+    poisson = (p_it + d_it) * (7 + 2) * nc * B
+    viscosity = v_it * (15 + 2) * nf * B
+    # solve setup: coefficient-field builds (pressure+density 7 fields
+    # each from lphi/w; viscosity 45 face-shaped fields from dual classes)
+    setup = (2 * 8 * nc + 45 * nf + 2 * 8 * nc) * B
+
+    # particle transfers; channel widths are the implementation's
+    # (lane-padded minor dims: weights/vals matrices round up to 128)
+    sort_pass = 4 * k * 8  # argsort passes over (id, perm)
+    p2g = sort_pass + k * 128 * B * 3 + 16 * nc * B  # 108-ch payload+table
+    g2p = k * 128 * B * 3 + 64 * nc * B  # 54-ch broadcast + corner tables
+    levelset = 2 * (sort_pass + k * 128 * B * 10 + 2 * nc * B)  # 125-ch min
+    density_tr = sort_pass + k * 64 * B * 3 + 16 * nc * B  # scatter+bcast
+    misc = 20 * nf * B  # extrapolate (2 iters), boundary condition, apply
+
+    total = poisson + viscosity + setup + p2g + g2p + levelset + density_tr + misc
+    return {
+        "bytes_per_step": int(total),
+        "breakdown_mb": {
+            "poisson_cg": round(poisson / 1e6, 1),
+            "viscosity_cg": round(viscosity / 1e6, 1),
+            "solve_setup": round(setup / 1e6, 1),
+            "p2g": round(p2g / 1e6, 1),
+            "g2p": round(g2p / 1e6, 1),
+            "levelset": round(levelset / 1e6, 1),
+            "density_transfers": round(density_tr / 1e6, 1),
+            "misc_field_ops": round(misc / 1e6, 1),
+        },
+    }
+
+
+def roofline(res, particles, iters, ms_per_step, device_kind=None) -> dict:
+    """Achieved GB/s (modeled bytes / measured time) and % of HBM peak."""
+    m = step_bytes_model(res, particles, iters)
+    gbps = m["bytes_per_step"] / (ms_per_step * 1e-3) / 1e9
+    out = {
+        "modeled_gb_per_step": round(m["bytes_per_step"] / 1e9, 3),
+        "achieved_gbps": round(gbps, 1),
+        "breakdown_mb": m["breakdown_mb"],
+    }
+    peak = chip_peak_gbps(device_kind)
+    if peak:
+        out["peak_gbps"] = peak
+        out["hbm_util"] = round(gbps / peak, 3)
+        out["floor_ms_per_step"] = round(
+            m["bytes_per_step"] / (peak * 1e9) * 1e3, 2
+        )
+    return out

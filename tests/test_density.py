@@ -107,3 +107,44 @@ def test_compressed_cluster_expands():
     spread1 = float(jnp.std(res.px, axis=0).mean())
     assert spread1 > spread0 * 1.01, (spread0, spread1)
     assert int(res.stats.iters) > 0
+
+
+def test_apply_displacement_all_matches_per_axis():
+    """Segment-broadcast displacement apply == the per-corner gather
+    path (original positions for all axes) to fp summation order."""
+    from python_fluid_simulation_tpu.solvers.density import (
+        apply_displacement,
+        apply_displacement_all,
+        scatter_mass_volume,
+    )
+
+    rng = np.random.default_rng(13)
+    gres = (7, 9, 6)
+    bmin = (-0.2, 0.0, -0.1)
+    h = (0.1, 0.1, 0.1)
+    n = 800
+    px = np.stack(
+        [
+            rng.uniform(bmin[a] + 1e-4, bmin[a] + gres[a] * h[a] - 1e-4, n)
+            for a in range(3)
+        ],
+        -1,
+    ).astype(np.float32)
+    pm = (rng.random(n) + 0.5).astype(np.float32)
+    px_j = jnp.asarray(px)
+    _, _, si = scatter_mass_volume(
+        px_j, jnp.asarray(pm), 1e-5, gres, bmin, h, with_sort_info=True
+    )
+    fsh = [
+        tuple(nn + (1 if i == a else 0) for i, nn in enumerate(gres))
+        for a in range(3)
+    ]
+    disp = [
+        jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.01)
+        for s in fsh
+    ]
+    ref = apply_displacement(px_j, disp, bmin, h)
+    new = px_j + apply_displacement_all(disp, si, bmin, h)
+    np.testing.assert_allclose(
+        np.asarray(new), np.asarray(ref), rtol=1e-5, atol=1e-6
+    )

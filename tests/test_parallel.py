@@ -323,3 +323,97 @@ def test_distributed_pcg_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(x_d), np.asarray(x_s), rtol=2e-3, atol=2e-4
     )
+
+
+def test_bucketed_full_step_matches_single_device():
+    """Spatially-bucketed particle mode (SURVEY §2.4(b)): the full step
+    with shard-local transfers + bounded rebucket exchange matches the
+    single-device step.  Particle masses are made unique so rows can be
+    matched across the rebucket permutation."""
+    from python_fluid_simulation_tpu.config import (
+        GridConfig3D,
+        PhysicsConfig,
+        SimConfig,
+        SolverConfig,
+    )
+    from python_fluid_simulation_tpu.engine.scenes import dam_break_scene
+    from python_fluid_simulation_tpu.engine.step import make_step
+    from python_fluid_simulation_tpu.parallel.particles import (
+        bucket_particles,
+        make_bucket_spec,
+    )
+    from python_fluid_simulation_tpu.state import Particles, SimState
+
+    cfg = SimConfig(
+        grid=GridConfig3D(
+            bound_min=(0.0, 0.0, 0.0),
+            bound_size=(1.0, 1.0, 1.0),
+            dx=1.0 / 16,  # slab_w = 2 on the 8-device mesh
+        ),
+        physics=PhysicsConfig(mu=0.2, dt=1.0 / 60.0),
+        solver=SolverConfig(max_iter=200),
+        particle_dx=1.0 / 32,
+    )
+    state = dam_break_scene(cfg)
+    n = state.particles.x.shape[0]
+    pm = np.asarray(state.particles.m) * (
+        1.0 + 1e-4 * np.arange(n, dtype=np.float32)
+    )
+    state = SimState(
+        particles=Particles(
+            x=state.particles.x,
+            v=state.particles.v,
+            c=state.particles.c,
+            m=jnp.asarray(pm),
+        ),
+        solid=state.solid,
+        t=state.t,
+        step_idx=state.step_idx,
+    )
+    mesh = make_mesh(8)
+    spec = make_bucket_spec(
+        8, cfg.grid.res[0], n, positions=np.asarray(state.particles.x),
+        bound_min=cfg.grid.bound_min, cell_size=cfg.grid.cell_size,
+    )
+    bstate = SimState(
+        particles=bucket_particles(
+            state.particles, mesh, spec, cfg.grid.bound_min,
+            cfg.grid.cell_size,
+        ),
+        solid=state.solid,
+        t=state.t,
+        step_idx=state.step_idx,
+    )
+
+    out_b, metrics = make_step(cfg, mesh=mesh, bucketed=True)(bstate)
+    assert int(metrics["bucket_lost"]) == 0
+    out_s, _ = make_step(cfg)(state)
+
+    mb = np.asarray(out_b.particles.m)
+    xb = np.asarray(out_b.particles.x)[mb > 0]
+    vb = np.asarray(out_b.particles.v)[mb > 0]
+    kb = mb[mb > 0]
+    xs = np.asarray(out_s.particles.x)
+    vs = np.asarray(out_s.particles.v)
+    ks = np.asarray(out_s.particles.m)
+    assert kb.shape == ks.shape
+    ob = np.argsort(kb)
+    os_ = np.argsort(ks)
+    np.testing.assert_array_equal(kb[ob], ks[os_])  # same particle set
+    np.testing.assert_allclose(xb[ob], xs[os_], atol=2e-4)
+    np.testing.assert_allclose(vb[ob], vs[os_], atol=2e-3)
+
+    # residency: no full-particle-array collective in the bucketed HLO —
+    # only collective-permutes (halos + the bounded exchange buffers)
+    import jax
+
+    lowered = jax.jit(
+        lambda s: make_step(cfg, mesh=mesh, bucketed=True)(s)
+    ).lower(bstate)
+    hlo = lowered.compile().as_text()
+    import re
+
+    for m in re.finditer(r"all-(gather|to-all)[^\n]*", hlo):
+        line = m.group(0)
+        # particle-array-sized collectives would carry the cap dim
+        assert f"{spec.cap * 8}" not in line, line

@@ -139,3 +139,28 @@ def test_fold_scattered_sep_matches_dense():
         np.testing.assert_allclose(
             np.asarray(sep), np.asarray(dense), rtol=1e-5, atol=1e-6
         )
+
+
+def test_segment_broadcast_sorted_matches_take():
+    """segment_broadcast_sorted == table[ids] for sorted ids, including
+    empty segments and a segment at the 2^8 fill bound."""
+    from python_fluid_simulation_tpu.ops.scatter import (
+        segment_broadcast_sorted,
+    )
+
+    rng = np.random.default_rng(7)
+    m, c = 64, 5
+    table = jnp.asarray(rng.standard_normal((m, c)).astype(np.float32))
+    ids = np.sort(
+        np.concatenate(
+            [
+                np.full(256, 3, np.int32),  # exactly at the fill bound
+                rng.integers(4, m, 300).astype(np.int32),
+                np.zeros(1, np.int32),
+            ]
+        )
+    )
+    out = segment_broadcast_sorted(table, jnp.asarray(ids))
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(table)[ids]
+    )

@@ -168,3 +168,33 @@ def test_p2g_all_volume_channels_match_dense():
             np.asarray(classes[p]), np.asarray(ref[p]),
             rtol=2e-4, atol=1e-9,
         )
+
+
+def test_g2p_all_matches_per_axis():
+    """The gather-free segment-broadcast G2P equals d× g2p_axis to fp
+    summation order — including particles at domain edges where the
+    corner clamp engages."""
+    from python_fluid_simulation_tpu.ops.transfers import g2p_all, p2g_all
+
+    rng = np.random.default_rng(11)
+    n = 700
+    # margin 0 exercises the clip(gi + o, 0, gres-1) edge behaviour
+    x, v, m = _rand_particles(n, seed=11, margin=0.001)
+    pc = jnp.asarray(rng.standard_normal((n, 3, 3)), jnp.float32)
+    fsh = [_face_shape(a) for a in range(3)]
+    _, _, si = p2g_all(
+        x, m, v, pc, GRES, fsh, BIAS, BMIN, H, with_sort_info=True
+    )
+    gvs = [
+        jnp.asarray(rng.standard_normal(s).astype(np.float32))
+        for s in fsh
+    ]
+    pv, pcn = g2p_all(gvs, GRES, BIAS, BMIN, H, si)
+    for a in range(3):
+        pva, pca = g2p_axis(x, gvs[a], a, GRES, BIAS[a], BMIN, H)
+        np.testing.assert_allclose(
+            np.asarray(pv[:, a]), np.asarray(pva), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(pcn[:, a]), np.asarray(pca), rtol=1e-4, atol=1e-4
+        )

@@ -225,3 +225,43 @@ def test_batched_mg_matches_per_axis_cycles():
         np.testing.assert_allclose(
             np.asarray(zb[a]), np.asarray(zs), rtol=2e-4, atol=1e-6
         )
+
+
+def test_viscosity_auto_precond_matches_jacobi():
+    """precond_kind='auto' (lax.cond hysteresis preconditioner switch)
+    reaches the same solution as the plain Jacobi path and converges,
+    whichever branch the carried flag selects."""
+    import numpy as np
+
+    rng = np.random.default_rng(22)
+    nn = (9, 8, 10)
+    dual = tuple(2 * k + 1 for k in nn)
+    sphi = jnp.asarray(rng.standard_normal(dual).astype(np.float32) + 0.5)
+    lvol = jnp.asarray(
+        np.abs(rng.standard_normal(dual)).astype(np.float32) * 1e-4
+    )
+    shapes = [
+        tuple(k + (1 if i == a else 0) for i, k in enumerate(nn))
+        for a in range(3)
+    ]
+    v = tuple(
+        jnp.asarray(rng.standard_normal(s).astype(np.float32))
+        for s in shapes
+    )
+    kw = dict(tol=1e-6, rel_tol=1e-6, max_iter=500, use_pallas="off")
+    res_j = viscosity_solve_3d(
+        1.0 / 60, 1.0, 1000.0, v, sphi, lvol, 0.1**3, **kw
+    )
+    for flag in (True, False):  # force-mg and force-jacobi regimes
+        res_a = viscosity_solve_3d(
+            1.0 / 60, 1.0, 1000.0, v, sphi, lvol, 0.1**3,
+            precond_kind="auto", auto_use_mg=jnp.asarray(flag), **kw
+        )
+        assert bool(res_a.stats.converged)
+        for a in range(3):
+            np.testing.assert_allclose(
+                np.asarray(res_a.v_faces[a]),
+                np.asarray(res_j.v_faces[a]),
+                rtol=5e-3,
+                atol=5e-4,
+            )
