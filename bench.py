@@ -90,6 +90,20 @@ def main():
         "achieved_gbps": roof.get("achieved_gbps"),
     }
 
+    # BASELINE north star: ">= 100x faster per step than the CPU
+    # reference" — the comparator is benchmarks/cpu_reference.py (the
+    # vectorized-NumPy embodiment of the reference algorithm, f64 solver
+    # math; "identical surface evolution" is backed by
+    # tests/test_cpu_reference.py's 20-step sign-exact level-set check).
+    here0 = os.path.dirname(os.path.abspath(__file__))
+    cpu48 = os.path.join(here0, "artifacts", "CPU_REF_48.json")
+    if os.path.exists(cpu48):
+        with open(cpu48) as f:
+            rec = json.load(f)
+        cpu_sps = rec["s_per_step"]
+        out["cpu_reference_s_per_step"] = cpu_sps
+        out["vs_cpu_reference"] = round(cpu_sps * steps_per_s, 1)
+
     # Attach the recorded big-config runs (BASELINE configs 3/5, measured
     # on this repo's TPU by benchmarks/big_configs.py) and per-phase
     # attributions (benchmarks/phase_bench.py) so the single bench line
@@ -105,9 +119,21 @@ def main():
                 "steps_per_s": v.get("steps_per_s"),
                 "ms_per_step": v.get("ms_per_step"),
                 "cg_iters_last_step": v.get("cg_iters_last_step"),
+                "hbm_util": (v.get("roofline") or {}).get("hbm_util"),
             }
             for k, v in recorded.items()
         }
+        cpu128 = os.path.join(here, "artifacts", "CPU_REF_128.json")
+        if os.path.exists(cpu128) and "buckling_128" in recorded:
+            with open(cpu128) as f:
+                c = json.load(f)
+            out["recorded_big_configs"]["buckling_128"][
+                "vs_cpu_reference"
+            ] = round(
+                c["s_per_step"] * 1000.0
+                / recorded["buckling_128"]["ms_per_step"],
+                1,
+            )
     print(json.dumps(out))
 
 

@@ -46,6 +46,10 @@ def build_argparser():
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--resume", default=None)
     p.add_argument("--profile-dir", default=None)
+    p.add_argument("--bucketed", action="store_true",
+                   help="with --mesh: spatially-bucketed particle "
+                        "sharding (per-device residency + bounded "
+                        "exchange) instead of index sharding")
     p.add_argument("--mesh", type=int, default=0,
                    help="shard the 3D step over an N-device mesh (grid "
                         "slab-decomposed along x, distributed PCG solves)")
@@ -57,6 +61,12 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
 
     import jax
+
+    # honour JAX_PLATFORMS even when a sitecustomize pinned another
+    # platform via jax.config (the env var alone is overridden; backends
+    # are lazy, so flipping back before any device op works)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import numpy as np
 
     from python_fluid_simulation_tpu.engine import scenes
@@ -136,6 +146,8 @@ def main(argv=None):
         cfg = dataclasses.replace(cfg, duration=args.duration)
 
     mesh = None
+    if args.bucketed and not (args.mesh and args.mesh > 1):
+        raise SystemExit("--bucketed requires --mesh N")
     if args.mesh and args.mesh > 1:
         if sim is not simulate:
             raise SystemExit("--mesh applies to 3D scenes only")
@@ -145,8 +157,32 @@ def main(argv=None):
         )
 
         mesh = make_mesh(args.mesh)
-        state = shard_state(state, mesh)
-        print(f"spatially sharded over {args.mesh} devices")
+        state = shard_state(state, mesh)  # grid fields + rb table
+        if args.bucketed:
+            from python_fluid_simulation_tpu.parallel.particles import (
+                bucket_particles,
+                make_bucket_spec,
+            )
+
+            spec = make_bucket_spec(
+                args.mesh, cfg.grid.res[0],
+                state.particles.x.shape[0],
+                positions=np.asarray(state.particles.x),
+                bound_min=cfg.grid.bound_min,
+                cell_size=cfg.grid.cell_size,
+            )
+            state = state._replace(
+                particles=bucket_particles(
+                    state.particles, mesh, spec, cfg.grid.bound_min,
+                    cfg.grid.cell_size,
+                )
+            )
+            print(
+                f"bucket-sharded over {args.mesh} devices "
+                f"(cap {spec.cap}/device, exchange {spec.exchange_cap})"
+            )
+        else:
+            print(f"spatially sharded over {args.mesh} devices")
 
     unet_apply = unet_params = None
     if cfg is not None and cfg.solver.viscosity_mode in ("unet", "unet_warm"):
@@ -195,7 +231,8 @@ def main(argv=None):
             n = min(args.block, max_steps - step_count)
             if sim is simulate:
                 state, metrics = sim(
-                    state, cfg, n, unet_apply, unet_params, mesh
+                    state, cfg, n, unet_apply, unet_params, mesh,
+                    bucketed=args.bucketed,
                 )
             else:
                 state, metrics = sim(state, cfg, n)
