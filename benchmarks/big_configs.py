@@ -61,7 +61,7 @@ def main():
         "artifacts", "BENCH_BIG.json"))
     p.add_argument("--only", default=None,
                    choices=[None, "buckling_128", "coiling_256",
-                            "coiling_512"])
+                            "coiling_512", "coiling_504"])
     args = p.parse_args()
 
     import jax
@@ -106,6 +106,28 @@ def main():
         except Exception:
             pass
         print("coiling_512:", json.dumps(results["coiling_512"]))
+    if args.only == "coiling_504":
+        # The 256^3-class single-chip run (>= 8M cells).  504 vertical
+        # cells instead of 512: on TPU the MINOR array dim pads to a
+        # 128 multiple, so a 128x512x128 grid pays 2x padding on every
+        # z-extended array (z-faces 129 -> 256, dual/ext 130 -> 256) —
+        # 126x504x126 (8.0M cells) keeps every minor dim at <= 128 and
+        # fits the 16 GB chip together with the channel-grouped
+        # placement (ops/transfers.py `grouped`).
+        cfg = scenes.coiling_config(res=504)
+        state = scenes.coiling_scene(cfg)
+        results["coiling_504"] = bench_scene(cfg, state, args.steps)
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            results["coiling_504"]["device_mem_gb"] = {
+                k: round(v / 1e9, 2)
+                for k, v in stats.items()
+                if k in ("bytes_in_use", "peak_bytes_in_use",
+                         "bytes_limit")
+            }
+        except Exception:
+            pass
+        print("coiling_504:", json.dumps(results["coiling_504"]))
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     existing = {}

@@ -126,13 +126,14 @@ def main():
             tuple(n + (1 if i == a else 0) for i, n in enumerate(g.res))
             for a in range(3)
         ]
-        gm, gv, lvol = p2g_all(
+        gm, gv, lvol, si = p2g_all(
             px, pm, pv, pc, g.res, fshapes, _FACE_BIAS,
             g.bound_min, g.cell_size,
             volume=(cfg.particle_dx ** 3, g.dual_cell_size),
+            with_sort_info=True,
         )
         gv[1] = gv[1] + ph.gravity * dt
-        return gm, gv, lvol
+        return gm, gv, lvol, si
 
     @jax.jit
     def ph_viscosity(dt, gv, sphi_c, lvol):
@@ -160,15 +161,13 @@ def main():
         return list(apply_boundary_condition(gv, gm, sphi_c, sv_c, g.dx))
 
     @jax.jit
-    def ph_g2p(px, gv):
-        pv_cols, pc_rows = [], []
-        for a in range(3):
-            pv_a, pc_a = g2p_axis(
-                px, gv[a], a, g.res, _FACE_BIAS[a], g.bound_min, g.cell_size
-            )
-            pv_cols.append(pv_a)
-            pc_rows.append(pc_a)
-        return jnp.stack(pv_cols, -1), jnp.stack(pc_rows, 1)
+    def ph_g2p(si, gv):
+        # engine path: gather-free segment broadcast over P2G's sort
+        from python_fluid_simulation_tpu.ops.transfers import g2p_all
+
+        return g2p_all(
+            gv, g.res, _FACE_BIAS, g.bound_min, g.cell_size, si
+        )
 
     timer = PhaseTimer()
     iters_log = []
@@ -203,7 +202,7 @@ def main():
             lphi = ph_levelset(px, pm)
             jax.block_until_ready(lphi)
         with timer.phase("5_p2g_volume", block_on=None):
-            gm, gv, lvol = ph_p2g(px, pm, pv, pc, dt)
+            gm, gv, lvol, si = ph_p2g(px, pm, pv, pc, dt)
             jax.block_until_ready(gv[0])
         if ph.mu > 0:
             with timer.phase("6_viscosity_solve", block_on=None):
@@ -218,7 +217,7 @@ def main():
             gv = ph_extrap_bc(gv, gm, sphi_c, sv_c)
             jax.block_until_ready(gv[0])
         with timer.phase("9_g2p", block_on=None):
-            pv, pc = ph_g2p(px, gv)
+            pv, pc = ph_g2p(si, gv)
             jax.block_until_ready(pv)
         if timed:
             iters_log.append(

@@ -120,11 +120,36 @@ def compute_fluid_levelset(
     size = 1
     for s in res:
         size *= s
-    seg = segment_min_sorted(vals, sorted_ids, size, background)
-    seg_cf = channels_first(seg, tuple(res))
-    return fold_scattered_sep(
-        seg_cf, [tuple(range(-2, 3))] * d, tuple(res), "min", background
+    from python_fluid_simulation_tpu.ops.transfers import (
+        _group_threshold,
     )
+
+    if size < _group_threshold():
+        seg = segment_min_sorted(vals, sorted_ids, size, background)
+        seg_cf = channels_first(seg, tuple(res))
+        return fold_scattered_sep(
+            seg_cf, [tuple(range(-2, 3))] * d, tuple(res), "min",
+            background,
+        )
+    # big grids: the (cells, 125) min table is the peak allocation
+    # (lane-padded 125->256 ~= 8 GB at 8M cells); process per leading-
+    # axis offset group — 5 sequential (cells, 25)-table passes whose
+    # buffers XLA reuses — and min-combine the folded grids
+    out = None
+    per = 5 ** (d - 1)
+    for gi_x, ox in enumerate(range(-2, 3)):
+        sub = vals[:, gi_x * per : (gi_x + 1) * per]
+        seg = segment_min_sorted(sub, sorted_ids, size, background)
+        seg_cf = channels_first(seg, tuple(res))
+        folded = fold_scattered_sep(
+            seg_cf,
+            [(ox,)] + [tuple(range(-2, 3))] * (d - 1),
+            tuple(res),
+            "min",
+            background,
+        )
+        out = folded if out is None else jnp.minimum(out, folded)
+    return out
 
 
 def compute_fluid_volume(

@@ -158,7 +158,37 @@ def _decode(rb: jnp.ndarray):
     return kind, flip, params, t, R, vel
 
 
-_HI = jax.lax.Precision.HIGHEST  # tiny matmuls; never let them drop to bf16
+_HI = jax.lax.Precision.HIGHEST
+
+# The 3x3 rigid transforms are written as explicit elementwise
+# multiply-adds, NOT einsum/dot: a (K,3)x(3,3) contraction lowers to an
+# MXU matmul using 3 of 128 lanes plus relayouts on both sides — at
+# ~356k particles x 6 bodies x 2 transforms each, those tiny matmuls
+# made the advect+project phase ~43 ms/step at 128^3-class (measured,
+# benchmarks/phase_bench.py).  Elementwise VPU arithmetic fuses with the
+# surrounding primitive math instead.
+
+
+def _rot_cols(v, R):
+    """R^T v (apply columns): out_i = sum_j v_j R[j, i]; v (..., 3)."""
+    return jnp.stack(
+        [
+            v[..., 0] * R[0, i] + v[..., 1] * R[1, i] + v[..., 2] * R[2, i]
+            for i in range(3)
+        ],
+        axis=-1,
+    )
+
+
+def _rot_rows(v, R):
+    """R v (apply rows): out_i = sum_j R[i, j] v_j; v (..., 3)."""
+    return jnp.stack(
+        [
+            v[..., 0] * R[i, 0] + v[..., 1] * R[i, 1] + v[..., 2] * R[i, 2]
+            for i in range(3)
+        ],
+        axis=-1,
+    )
 
 
 def _to_local(points, t, R):
@@ -167,11 +197,30 @@ def _to_local(points, t, R):
     Reference: inv_rigid + matvecmul4 (sdf3D.py:30-38,20-28).
     """
     rel = points[:, None, :] - t[None, :, :]  # (P,B,3)
-    return jnp.einsum("bji,pbj->pbi", R, rel, precision=_HI)
+    return jnp.stack(
+        [
+            rel[..., 0] * R[None, :, 0, i]
+            + rel[..., 1] * R[None, :, 1, i]
+            + rel[..., 2] * R[None, :, 2, i]
+            for i in range(3)
+        ],
+        axis=-1,
+    )
 
 
 def _to_world(p_local, t, R):
-    return jnp.einsum("bij,pbj->pbi", R, p_local, precision=_HI) + t[None, :, :]
+    return (
+        jnp.stack(
+            [
+                p_local[..., 0] * R[None, :, i, 0]
+                + p_local[..., 1] * R[None, :, i, 1]
+                + p_local[..., 2] * R[None, :, i, 2]
+                for i in range(3)
+            ],
+            axis=-1,
+        )
+        + t[None, :, :]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -266,7 +315,7 @@ def _project_sphere(points, t_b, params_b, flip_b):
 
 def _project_box(points, t_b, R_b, params_b, flip_b):
     rel = points - t_b[None, :]
-    p_local = jnp.einsum("pi,ij->pj", rel, R_b, precision=_HI)  # R^T p
+    p_local = _rot_cols(rel, R_b)  # R^T p
     half = params_b * 0.5
     clipped = jnp.clip(p_local, -half, half)
     # flipped container: clamp into the box (no-op when already inside);
@@ -295,13 +344,13 @@ def _project_box(points, t_b, R_b, params_b, flip_b):
         flip_b == 1, flipped_new, jnp.where(inside[:, None], pushed, p_local)
     )
     changed = (flip_b == 1) | inside
-    new_world = jnp.einsum("pj,ij->pi", new_local, R_b, precision=_HI) + t_b[None, :]
+    new_world = _rot_rows(new_local, R_b) + t_b[None, :]
     return jnp.where(changed[:, None], new_world, points)
 
 
 def _project_cylinder(points, t_b, R_b, params_b, flip_b):
     rel = points - t_b[None, :]
-    p = jnp.einsum("pi,ij->pj", rel, R_b, precision=_HI)
+    p = _rot_cols(rel, R_b)
     r = params_b[0]
     hh = params_b[1] * 0.5
     y = p[:, 1]
@@ -330,7 +379,7 @@ def _project_cylinder(points, t_b, R_b, params_b, flip_b):
         flip_b == 1, flipped_new, jnp.where(inside[:, None], pushed, p)
     )
     changed = (flip_b == 1) | inside
-    new_world = jnp.einsum("pj,ij->pi", new_local, R_b, precision=_HI) + t_b[None, :]
+    new_world = _rot_rows(new_local, R_b) + t_b[None, :]
     return jnp.where(changed[:, None], new_world, points)
 
 

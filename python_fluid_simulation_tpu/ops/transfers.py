@@ -236,6 +236,12 @@ def _p2g_channels(px, pm, pv, pc, biases, bound_min, cell_size, volume):
     return blocks, specs, vol_rs, gi0
 
 
+def _group_threshold() -> int:
+    import os
+
+    return int(os.environ.get("PFS_GROUP_CELLS", 4_000_000))
+
+
 def p2g_all(
     px: jnp.ndarray,
     pm: jnp.ndarray,
@@ -283,36 +289,58 @@ def p2g_all(
     )
 
     d = px.shape[-1]
-    blocks, specs, vol_rs, gi0 = _p2g_channels(
-        px, pm, pv, pc, biases, bound_min, cell_size, volume
-    )
-    n_payload = sum(b.shape[-1] for b in blocks)
-    if with_sort_info:
-        # positions ride the payload take: G2P's segment-broadcast path
-        # (`g2p_all`) needs sorted positions and this costs 3 extra
-        # columns on a take that already moves ~111
-        blocks.append(px)
-    vals = jnp.concatenate(blocks, axis=-1)  # (K, 2*sum(C_a) [+ 3^d] [+ d])
+    gi0, _, _ = _corner_setup(px, bound_min, cell_size, (0.0,) * d)
 
+    # sort the RAW particle payload (17 columns: x, m, v, c) and build
+    # the ~135 scatter channels from the sorted arrays — the take moves
+    # 8x fewer bytes than reordering a prebuilt channel matrix, and the
+    # (K, 135) matrix is never materialised twice
     ids, ext = home_ids_extended(gi0, gres)
     ids = padding_dump_ids(ids, pm, ext)
     order = jnp.argsort(ids)
     sorted_ids = ids[order]
-    sorted_vals = vals[order]
+    px_s = px[order]
+    pm_s = pm[order]
+    pv_s = pv[order]
+    pc_s = pc[order]
+    blocks, specs, vol_rs, _ = _p2g_channels(
+        px_s, pm_s, pv_s, pc_s, biases, bound_min, cell_size, volume
+    )
+    sorted_vals = jnp.concatenate(blocks, axis=-1)
     sort_info = None
     if with_sort_info:
         sort_info = SortInfo(
             sorted_ids=sorted_ids,
             order=order,
             ext=ext,
-            px_sorted=sorted_vals[:, n_payload:],
+            px_sorted=px_s,
         )
-        sorted_vals = sorted_vals[:, :n_payload]
     size = 1
     for s in ext:
         size *= s
-    seg = segment_sum_sorted(sorted_vals, sorted_ids, size)
-    seg_cf = channels_first(seg, ext)
+    # Big grids: the merged placement's (cells, channels) scatter buffer
+    # is the peak allocation of the whole step — at 8.4M cells the full
+    # 135-channel table is 4.4 GB logical and lane-padding rounds the
+    # channel dim to 256 (8.8 GB).  Above ~4M segments, run the
+    # segmented sum per CONSUMER GROUP (one axis / the volume classes)
+    # over the SAME sort: the per-group buffers are sequential in
+    # liveness, so XLA reuses one ~(cells, 128-lane) allocation
+    # (coiling-512 went from 22 GB/OOM to fitting a 16 GB chip).
+    grouped = size >= _group_threshold()
+    if grouped:
+
+        def group_cf(cols):
+            sub = sorted_vals[:, jnp.asarray(cols)]
+            return channels_first(
+                segment_sum_sorted(sub, sorted_ids, size), ext
+            )
+
+    else:
+        seg = segment_sum_sorted(sorted_vals, sorted_ids, size)
+        seg_cf = channels_first(seg, ext)
+
+        def group_cf(cols):
+            return seg_cf[jnp.asarray(cols)]
 
     base_shape = tuple(gres)
     gms, gvs = [], []
@@ -324,8 +352,11 @@ def p2g_all(
                                   else (0, 1)))
             for dd in range(d)
         ]
-        m_ch = seg_cf[jnp.asarray([2 * j for j in idxs])]
-        v_ch = seg_cf[jnp.asarray([2 * j + 1 for j in idxs])]
+        n_a = len(idxs)
+        cf_a = group_cf(
+            [2 * j for j in idxs] + [2 * j + 1 for j in idxs]
+        )
+        m_ch, v_ch = cf_a[:n_a], cf_a[n_a:]
         gm = fold_scattered_sep(m_ch, axis_shifts, base_shape, "add", 0.0)
         gv_m = fold_scattered_sep(
             v_ch, axis_shifts, base_shape, "add", 0.0
@@ -347,6 +378,7 @@ def p2g_all(
     fine_vol = 1.0
     for c in volume[1]:
         fine_vol *= c
+    vol_cf = group_cf(list(range(n_p2g, n_p2g + len(vol_rs))))
     classes = {}
     for p in itertools.product((0, 1), repeat=d):
         class_res = tuple(
@@ -357,7 +389,7 @@ def p2g_all(
             if all(ra % 2 == pa for ra, pa in zip(r, p))
         ]
         axis_shifts = [(-1, 0) if pp == 0 else (-1,) for pp in p]
-        sub = seg_cf[jnp.asarray([n_p2g + i for i in sel])]
+        sub = vol_cf[jnp.asarray(sel)]
         vol = fold_scattered_sep(sub, axis_shifts, class_res, "add", 0.0)
         classes[p] = jnp.minimum(vol, fine_vol)
     if with_sort_info:

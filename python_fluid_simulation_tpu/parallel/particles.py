@@ -389,12 +389,9 @@ def sharded_p2g_all(
     def local(px, pm, pv, pc):
         idx_dev = jax.lax.axis_index(axis)
         lo = idx_dev * W
-        blocks, specs_meta, vol_rs, gi0 = _p2g_channels(
-            px, pm, pv, pc, biases, bound_min, cell_size, volume
+        gi0, _, _ = _corner_setup(
+            px, bound_min, cell_size, (0.0,) * d
         )
-        n_payload = sum(b.shape[-1] for b in blocks)
-        blocks.append(px)
-        vals = jnp.concatenate(blocks, axis=-1)
         ids, ext = _local_ext_ids(gi0, lo, W, ny_nz)
         from python_fluid_simulation_tpu.ops.transfers import (
             padding_dump_ids,
@@ -403,9 +400,14 @@ def sharded_p2g_all(
         ids = padding_dump_ids(ids, pm, ext)
         order = jnp.argsort(ids)
         sorted_ids = ids[order]
-        sorted_vals = vals[order]
-        px_sorted = sorted_vals[:, n_payload:]
-        sorted_vals = sorted_vals[:, :n_payload]
+        # sort the raw payload, build channels from sorted arrays (the
+        # take moves 8x fewer bytes than a prebuilt channel matrix)
+        px_sorted = px[order]
+        blocks, specs_meta, vol_rs, _ = _p2g_channels(
+            px_sorted, pm[order], pv[order], pc[order],
+            biases, bound_min, cell_size, volume,
+        )
+        sorted_vals = jnp.concatenate(blocks, axis=-1)
         size = 1
         for s in ext:
             size *= s
@@ -821,24 +823,25 @@ def sharded_scatter_mass_volume(
 
     def local(px, pm):
         lo = jax.lax.axis_index(axis) * W
-        gi, _, w = _corner_setup(
+        gi, _, _ = _corner_setup(
             px, bound_min, cell_size, (0.5,) * d
         )
-        pv = pvol * (pm > 0)
-        chans = []
-        for offs in corners:
-            weight = _corner_weight(w, offs)
-            chans.append(weight * pm)
-            chans.append(weight * pv)
-        chans.extend(px[:, a] for a in range(d))
-        vals = jnp.stack(chans, axis=-1)
         ids, ext = _local_ext_ids(gi, lo, W, ny_nz)
         ids = padding_dump_ids(ids, pm, ext)
         order = jnp.argsort(ids)
         sorted_ids = ids[order]
-        sorted_vals = vals[order]
-        px_sorted = sorted_vals[:, 2 * len(corners):]
-        sorted_vals = sorted_vals[:, : 2 * len(corners)]
+        px_sorted = px[order]
+        pm_s = pm[order]
+        _, _, w = _corner_setup(
+            px_sorted, bound_min, cell_size, (0.5,) * d
+        )
+        pv = pvol * (pm_s > 0)
+        chans = []
+        for offs in corners:
+            weight = _corner_weight(w, offs)
+            chans.append(weight * pm_s)
+            chans.append(weight * pv)
+        sorted_vals = jnp.stack(chans, axis=-1)
         size = 1
         for s in ext:
             size *= s

@@ -65,43 +65,42 @@ def scatter_mass_volume(
     )
     from python_fluid_simulation_tpu.ops.transfers import SortInfo
 
-    d = px.shape[-1]
-    gi, _, w = _corner_setup(px, bound_min, cell_size, (0.5,) * d)
-
-    corners = list(itertools.product((0, 1), repeat=d))
-    # zero-mass particles are DP-sharding padding and contribute no
-    # volume either (ops/levelset.compute_fluid_levelset docstring)
-    pv = pvol * (pm > 0)
-    chans = []
-    for offs in corners:
-        weight = _corner_weight(w, offs)
-        chans.append(weight * pm)
-        chans.append(weight * pv)
-    n_payload = 2 * len(corners)
-    if with_sort_info:
-        chans.extend(px[:, a] for a in range(d))
-    vals = jnp.stack(chans, axis=-1)
-
     from python_fluid_simulation_tpu.ops.transfers import (
         padding_dump_ids,
     )
 
+    d = px.shape[-1]
+    gi, _, _ = _corner_setup(px, bound_min, cell_size, (0.5,) * d)
+
+    # sort the raw (x, m) payload first, build the 16 corner channels
+    # from the sorted arrays (see transfers.p2g_all); padding rows get
+    # dump ids so they never share segments with live particles
     ids, ext = home_ids_extended(gi, gres)
-    # zero-mass padding rows must not share segments with live particles
-    # (they starve the displacement segment-broadcast; transfers.py)
     ids = padding_dump_ids(ids, pm, ext)
     order = jnp.argsort(ids)
     sorted_ids = ids[order]
-    sorted_vals = vals[order]
+    px_s = px[order]
+    pm_s = pm[order]
+    _, _, w = _corner_setup(px_s, bound_min, cell_size, (0.5,) * d)
+
+    corners = list(itertools.product((0, 1), repeat=d))
+    # zero-mass particles are DP-sharding padding and contribute no
+    # volume either (ops/levelset.compute_fluid_levelset docstring)
+    pv = pvol * (pm_s > 0)
+    chans = []
+    for offs in corners:
+        weight = _corner_weight(w, offs)
+        chans.append(weight * pm_s)
+        chans.append(weight * pv)
+    sorted_vals = jnp.stack(chans, axis=-1)
     sort_info = None
     if with_sort_info:
         sort_info = SortInfo(
             sorted_ids=sorted_ids,
             order=order,
             ext=ext,
-            px_sorted=sorted_vals[:, n_payload:],
+            px_sorted=px_s,
         )
-        sorted_vals = sorted_vals[:, :n_payload]
     size = 1
     for s in ext:
         size *= s

@@ -198,3 +198,50 @@ def test_g2p_all_matches_per_axis():
         np.testing.assert_allclose(
             np.asarray(pcn[:, a]), np.asarray(pca), rtol=1e-4, atol=1e-4
         )
+
+
+def test_p2g_all_grouped_matches_ungrouped(monkeypatch):
+    """The big-grid channel-grouped placement (peak-memory bound for
+    8M-cell grids) is numerically the single-table path."""
+    import os
+
+    from python_fluid_simulation_tpu.ops.transfers import p2g_all
+
+    rng = np.random.default_rng(17)
+    n = 900
+    x, v, m = _rand_particles(n, seed=17, margin=0.01)
+    pc = jnp.asarray(rng.standard_normal((n, 3, 3)), jnp.float32)
+    fsh = [_face_shape(a) for a in range(3)]
+    vol = (1e-5, tuple(hh / 2 for hh in H))
+    gm0, gv0, cl0 = p2g_all(
+        x, m, v, pc, GRES, fsh, BIAS, BMIN, H, volume=vol
+    )
+    monkeypatch.setenv("PFS_GROUP_CELLS", "1")
+    gm1, gv1, cl1 = p2g_all(
+        x, m, v, pc, GRES, fsh, BIAS, BMIN, H, volume=vol
+    )
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(gm1[a]), np.asarray(gm0[a]), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(gv1[a]), np.asarray(gv0[a]), atol=1e-6
+        )
+    for k in cl0:
+        np.testing.assert_allclose(
+            np.asarray(cl1[k]), np.asarray(cl0[k]), atol=1e-9
+        )
+
+
+def test_levelset_grouped_matches_ungrouped(monkeypatch):
+    from python_fluid_simulation_tpu.ops.levelset import (
+        compute_fluid_levelset,
+    )
+
+    x, _, m = _rand_particles(700, seed=18, margin=0.01)
+    ref = compute_fluid_levelset(x, GRES, BMIN, H, H[0], pm=m)
+    monkeypatch.setenv("PFS_GROUP_CELLS", "1")
+    got = compute_fluid_levelset(x, GRES, BMIN, H, H[0], pm=m)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=1e-6
+    )

@@ -171,3 +171,24 @@ def test_unet_bf16_compute_path():
     np.testing.assert_allclose(
         np.asarray(y16), np.asarray(y32), atol=0.05
     )
+
+
+def test_fast_unpool_matches_convtranspose():
+    """FastUnpool (matmul + depth-to-space) is numerically the
+    ConvTranspose(k=2,s=2,VALID) it replaces, on the same params."""
+    import flax.linen as nn
+    import jax
+
+    from python_fluid_simulation_tpu.models.unet3d import FastUnpool
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, 4, 6, 5, 7)).astype(np.float32))
+    ref = nn.ConvTranspose(
+        3, kernel_size=(2, 2, 2), strides=(2, 2, 2), padding="VALID"
+    )
+    params = ref.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(
+        np.asarray(FastUnpool(3).apply(params, x)),
+        np.asarray(ref.apply(params, x)),
+        atol=1e-5,
+    )
