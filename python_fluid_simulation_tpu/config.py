@@ -154,6 +154,11 @@ class SolverConfig:
     # 'auto' switchover threshold (observed Jacobi-PCG iterations; must
     # exceed the scene's healthy-regime counts — coiling runs 20-110)
     viscosity_auto_iters: int = 300
+    # cell-Poisson MG cycle shape override: (n_smooth, min_dim,
+    # coarse_iters), None = solver defaults.  The V-cycle is op-count
+    # bound on TPU, so a shallower cycle (e.g. (1, 32, 24)) trades
+    # 2-4 extra PCG iterations for ~half the per-cycle dispatches.
+    mg_opts: tuple | None = None
     # Reference-bug compatibility switches (SURVEY §7 tracked list). False =
     # fixed behaviour (documented divergence), True = mimic the reference.
     density_wz_bug: bool = False

@@ -256,6 +256,7 @@ def step_3d(
         wz_bug=sol.density_wz_bug,
         use_pallas=sol.pallas,
         precond_kind=sol.precond,
+        mg_opts=sol.mg_opts,
         mesh=mesh,
         bucket=((mesh, bspec) if bspec is not None else None),
     )
@@ -369,6 +370,7 @@ def step_3d(
         dt_scale=(dt if sol.pressure_dt_scaled else None),
         use_pallas=sol.pallas,
         precond_kind=sol.precond,
+        mg_opts=sol.mg_opts,
         mesh=mesh,
     )
     gv = [gshard(v) for v in pres.v_faces]

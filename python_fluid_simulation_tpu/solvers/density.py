@@ -467,6 +467,7 @@ def density_solve_3d(
     wz_bug: bool = False,
     use_pallas: str = "auto",
     precond_kind: str = "jacobi",
+    mg_opts=None,
     mesh=None,
     bucket=None,
 ) -> DensityResult:
@@ -505,7 +506,7 @@ def density_solve_3d(
         tol=tol, rel_tol=rel_tol, max_iter=max_iter,
         jacobi_precond=jacobi_precond, use_pallas=use_pallas,
         wz_bug_coefs=density_coefficients(w_faces, lphi, wz_bug),
-        precond_kind=precond_kind, mesh=mesh,
+        precond_kind=precond_kind, mg_opts=mg_opts, mesh=mesh,
     )
     face_shapes = [
         tuple(n + (1 if i == a else 0) for i, n in enumerate(gres))

@@ -161,21 +161,45 @@ def make_mg_preconditioner(
     omega: float = 0.8,
     coarse_iters: int = 24,
     min_dim: int = 4,
+    matvec0=None,
 ):
     """Returns M^{-1}: r -> z, one symmetric V-cycle with zero initial
-    guess (a fixed SPD linear operator, valid inside plain PCG)."""
+    guess (a fixed SPD linear operator, valid inside plain PCG).
+
+    ``matvec0``: optional fused replacement for the level-0 stencil apply
+    (e.g. the blocked Pallas matvec already built for the CG loop) — the
+    level-0 smoother/residual is the V-cycle's only bandwidth-significant
+    work, so it gets the same kernel the solver itself uses."""
     levels = build_hierarchy(diag, coefs, min_dim=min_dim)
 
-    def vcycle(k: int, b):
+    def lmatvec(k, p):
+        if k == 0 and matvec0 is not None:
+            return matvec0(p)
+        return _matvec(levels[k], p)
+
+    def lsmooth(k, x, b, iters, x_is_zero=False):
         level = levels[k]
+        for i in range(iters):
+            if i == 0 and x_is_zero:
+                # A·0 = 0: the first relaxation from a zero guess is just
+                # the scaled residual — skip the stencil apply
+                x = omega * b / level.safe_diag
+                continue
+            r = b - lmatvec(k, x)
+            x = x + omega * r / level.safe_diag
+        return x
+
+    def vcycle(k: int, b):
         if k == len(levels) - 1:
-            return _smooth(level, jnp.zeros_like(b), b, coarse_iters, omega)
-        x = _smooth(level, jnp.zeros_like(b), b, n_smooth, omega)
-        r = b - _matvec(level, x)
+            return lsmooth(
+                k, jnp.zeros_like(b), b, coarse_iters, x_is_zero=True
+            )
+        x = lsmooth(k, jnp.zeros_like(b), b, n_smooth, x_is_zero=True)
+        r = b - lmatvec(k, x)
         rc = _restrict(r, levels[k + 1].diag.shape)
         ec = vcycle(k + 1, rc)
         x = x + _prolong(ec, b.shape)
-        return _smooth(level, x, b, n_smooth, omega)
+        return lsmooth(k, x, b, n_smooth)
 
     active = levels[0].diag > 0
 

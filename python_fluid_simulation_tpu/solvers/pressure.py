@@ -268,6 +268,7 @@ def pressure_solve_3d(
     dt_scale: float | None = None,
     use_pallas: str = "auto",
     precond_kind: str = "jacobi",
+    mg_opts=None,
     mesh=None,
 ) -> PressureResult:
     """Full projection: RHS → CG → apply.
@@ -282,7 +283,8 @@ def pressure_solve_3d(
         b, w_faces, lphi,
         tol=tol, rel_tol=rel_tol, max_iter=max_iter,
         jacobi_precond=jacobi_precond, dt_scale=dt_scale,
-        use_pallas=use_pallas, precond_kind=precond_kind, mesh=mesh,
+        use_pallas=use_pallas, precond_kind=precond_kind,
+        mg_opts=mg_opts, mesh=mesh,
     )
     new_v = apply_pressure_3d(v_faces, x, w_faces, sv, lphi, cell_size)
     return PressureResult(new_v, x, stats)
@@ -302,6 +304,7 @@ def solve_cell_poisson(
     use_pallas: str = "auto",
     wz_bug_coefs=None,
     precond_kind: str = "jacobi",
+    mg_opts=None,
     mesh=None,
 ):
     """Shared CG driver for the cell-centred ghost-fluid systems
@@ -401,7 +404,19 @@ def solve_cell_poisson(
             make_mg_preconditioner,
         )
 
-        mg = make_mg_preconditioner(diag, coefs)
+        # mg_opts: optional (n_smooth, min_dim, coarse_iters) cycle-shape
+        # override (SolverConfig.mg_opts); level-0 smoothing rides the
+        # blocked Pallas matvec when the grid qualifies for it.
+        kw = {}
+        if mg_opts is not None:
+            kw = dict(
+                n_smooth=int(mg_opts[0]),
+                min_dim=int(mg_opts[1]),
+                coarse_iters=int(mg_opts[2]),
+            )
+        mg = make_mg_preconditioner(
+            diag, coefs, matvec0=blocked_mv, **kw
+        )
 
         def precond(r):  # noqa: F811
             return mg(r) / s

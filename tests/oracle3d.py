@@ -37,6 +37,115 @@ def project_flipped_box(px, center, size):
 
 
 # ---------------------------------------------------------------------------
+# general rigid-body projection, per body IN TABLE ORDER on the already-
+# moved position (project_kernel, sdf3D.py:245-260).  Bodies are dicts
+# {kind: 'sphere'|'box'|'cylinder', flip: bool, params: [..], center: (3,),
+# R: (3,3) world-from-local rotation}; p_local = R^T (p - center).
+# ---------------------------------------------------------------------------
+
+def _project_sphere_one(p, center, r, flip):
+    # sphere_project (sdf3D.py:69-85)
+    disp = p - center
+    dist = math.sqrt(disp @ disp)
+    sd = dist - r
+    if flip:
+        sd = -sd
+    if sd < 0:
+        n = disp / dist if dist > 0 else disp
+        return n * r + center
+    return p
+
+
+def _project_box_one(p, center, R, size, flip):
+    # box_project (sdf3D.py:112-144).  Flipped: `if flipped and ~(in_out)`
+    # — bitwise NOT of a non-negative int is always truthy, so the clamp
+    # applies unconditionally (:123).  Non-flipped & inside: push through
+    # the nearest face, faces scanned in (+x,-x,+y,-y,+z,-z) order with
+    # strict `<` updates seeded at dist=100 (:132-141).
+    pl = R.T @ (p - center)
+    half = np.asarray(size, np.float64) * 0.5
+    if flip:
+        pl = np.clip(pl, -half, half)
+        return R @ pl + center
+    in_out = 0
+    for i in range(3):
+        if pl[i] > half[i] or pl[i] < -half[i]:
+            in_out += 1
+    if in_out == 0:
+        index, dist = 0, 100.0
+        for i in range(3):
+            if half[i] - pl[i] < dist:
+                dist = half[i] - pl[i]
+                index = 2 * i
+            if pl[i] + half[i] < dist:
+                dist = pl[i] + half[i]
+                index = 2 * i + 1
+        pl[index // 2] += dist * (-1.0) ** (index % 2)
+        return R @ pl + center
+    return p
+
+
+def _project_cylinder_one(p, center, R, r, height, flip):
+    # cylinder_project (sdf3D.py:174-219); local y is the axis.
+    pl = R.T @ (p - center)
+    hh = height / 2.0
+    y_clip = pl[1]
+    if pl[1] < -hh:
+        y_clip = -hh
+    elif pl[1] > hh:
+        y_clip = hh
+    dist = math.sqrt(pl[0] ** 2 + pl[2] ** 2)
+    sd = dist - r
+    if flip:
+        if abs(y_clip) == hh or sd > 0:
+            if sd < 0:  # above/below the cylinder
+                pl[1] = y_clip
+            else:  # project onto the side face
+                pl[0] = pl[0] / dist * r
+                pl[2] = pl[2] / dist * r
+                pl[1] = y_clip
+        return R @ pl + center
+    if sd < 0 and abs(y_clip) != hh:  # strictly inside
+        mx = max(sd, pl[1] - hh, -(pl[1] + hh))
+        if mx == sd:
+            pl[0] = pl[0] / dist * r
+            pl[2] = pl[2] / dist * r
+        elif mx == pl[1] - hh:
+            pl[1] = hh
+        else:
+            pl[1] = -hh
+        return R @ pl + center
+    return p
+
+
+def project_bodies(px, bodies):
+    out = px.astype(np.float64).copy()
+    for i in range(out.shape[0]):
+        p = out[i]
+        for b in bodies:
+            if b["kind"] == "sphere":
+                p = _project_sphere_one(
+                    p, np.asarray(b["center"], np.float64),
+                    float(b["params"][0]), bool(b["flip"]),
+                )
+            elif b["kind"] == "box":
+                p = _project_box_one(
+                    p, np.asarray(b["center"], np.float64),
+                    np.asarray(b["R"], np.float64), b["params"],
+                    bool(b["flip"]),
+                )
+            else:
+                p = _project_cylinder_one(
+                    p, np.asarray(b["center"], np.float64),
+                    np.asarray(b["R"], np.float64),
+                    float(b["params"][0]), float(b["params"][1]),
+                    bool(b["flip"]),
+                )
+        out[i] = p
+    return out
+
+
+# ---------------------------------------------------------------------------
 # solid fractions (SolidFractionCommon.py:4-60, SolidFraction3D.py:6-26)
 # ---------------------------------------------------------------------------
 
@@ -385,7 +494,11 @@ def solve_cell_system(b, lphi, w, unit_diag):
                 diag += dw / _clip_frac(phi, nphi)
         A[i, i] = diag if diag != 0 else 1.0
         rhs[i] = b[x, y, z]
-    sol = np.linalg.solve(A, rhs)
+    # lstsq, not solve: a fluid pocket sealed inside solid (all-Neumann
+    # component, e.g. jittered particles inside the funnel slabs) makes A
+    # singular-but-consistent; CG from x0=0 converges to the minimum-norm
+    # solution, which for SPsemiD A is exactly the lstsq solution
+    sol = np.linalg.lstsq(A, rhs, rcond=None)[0]
     out = np.zeros(res)
     for i, s in enumerate(sites):
         out[s] = sol[i]
@@ -552,19 +665,30 @@ def apply_displacement(px, disps, bmin, h):
     return out
 
 
-def oracle_step(px, pv, pc, pm, sphi, sv, scene, phys):
+def oracle_step(px, pv, pc, pm, sphi, sv, scene, phys, return_dt=False):
     """One full reference step (notebook cell 13 :4552-4693 order) on
-    NumPy f64 state.  `scene`: dict(res, bmin, h, dual_h, gdx, pvol,
-    box_center, box_size); `phys`: dict(rho, mu, dt, gravity, cell_vol).
-    Returns (px, pv, pc)."""
+    NumPy f64 state.  `scene`: dict(res, bmin, h, dual_h, gdx, pvol) plus
+    either (box_center, box_size) or `bodies` (see project_bodies);
+    `phys`: dict(rho, mu, dt, gravity, cell_vol) and optionally
+    dt_mode='cfl' (+ duration, t).  Returns (px, pv, pc[, dt])."""
     res = scene["res"]
     bmin = scene["bmin"]
     h = scene["h"]
     dt = phys["dt"]
+    if phys.get("dt_mode") == "cfl":
+        # dt selection (cell 13 :4572-4576): cap at one grid cell per
+        # step from the START-of-step particle speeds
+        vmax = float(np.max(np.sqrt(np.sum(pv * pv, axis=-1))))
+        dt = min(dt, scene["gdx"] / max(1e-10, vmax))
+        if "duration" in phys:
+            dt = min(dt, max(phys["duration"] - phys.get("t", 0.0), 1e-6))
 
     # advect + project out of solids (:4582-4584)
     px = px + pv * dt
-    px = project_flipped_box(px, scene["box_center"], scene["box_size"])
+    if "bodies" in scene:
+        px = project_bodies(px, scene["bodies"])
+    else:
+        px = project_flipped_box(px, scene["box_center"], scene["box_size"])
 
     w = solid_frac(sphi, res)
 
@@ -602,6 +726,8 @@ def oracle_step(px, pv, pc, pm, sphi, sv, scene, phys):
 
     # G2P (:4660)
     pv, pc = g2p(px, gvs, res, bmin, h)
+    if return_dt:
+        return px, pv, pc, dt
     return px, pv, pc
 
 
@@ -745,7 +871,15 @@ def viscosity_solve(dt, mu, rho, gvs, sphi, lvol, cell_vol):
                 # solid neighbour: Dirichlet contribution to b
                 b_val += -coef * _face_at(ext[field], vidx)
         rhs[i] += b_val
-    sol = np.linalg.solve(A, rhs)
+    # The build's CG starts from x0 = the extrapolated field (viscosity.py
+    # x0 = ext), so on a singular-but-consistent system (e.g. a cluster of
+    # faces whose only nonzero control volumes are shared couplings, seen
+    # in thin tilted-slab geometry) its limit is x0 + A^+ (b - A x0) —
+    # which equals the exact solution whenever A is nonsingular.
+    x0_vec = np.array(
+        [_face_at(ext[a], (x, y, z)) for (a, x, y, z) in sites]
+    )
+    sol = x0_vec + np.linalg.lstsq(A, rhs - A @ x0_vec, rcond=None)[0]
 
     out = []
     for a in range(3):

@@ -150,3 +150,31 @@ def test_solve_is_jittable_and_dt_scaled_equivalent():
     ).v_faces
     for a, b in zip(plain, scaled):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
+def test_mg_opts_variants_match_jacobi_solution():
+    """precond_kind='mg' with cycle-shape overrides (SolverConfig.mg_opts)
+    is still a fixed SPD preconditioner: every variant must converge to
+    the same solution as the Jacobi-PCG baseline."""
+    sphi, sv, lphi = _open_tank()
+    w = compute_solid_frac_3d(sphi)
+    rng = np.random.default_rng(7)
+    v = tuple(
+        jnp.asarray(rng.standard_normal(f.shape).astype(np.float32))
+        for f in _faces()
+    )
+    base = pressure_solve_3d(
+        v, sv, lphi, w, H, tol=1e-8, rel_tol=1e-10, max_iter=4000,
+        use_pallas="off",
+    )
+    for opts in [None, (1, 4, 24), (1, 16, 8), (2, 16, 24)]:
+        res = pressure_solve_3d(
+            v, sv, lphi, w, H, tol=1e-8, rel_tol=1e-10, max_iter=4000,
+            use_pallas="off", precond_kind="mg", mg_opts=opts,
+        )
+        assert int(res.stats.iters) < int(base.stats.iters), opts
+        for a, b in zip(base.v_faces, res.v_faces):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4,
+                err_msg=f"mg_opts={opts}",
+            )
