@@ -105,11 +105,14 @@ def main():
                 out, sphi.shape, [v.shape for v in gv]
             )
         )
+        # params/fields as ARGUMENTS: a 69M-param closure bakes 275 MB
+        # of literals into the program (the remote compile tunnel 413s)
         full_j = jax.jit(
-            lambda: features.unet_delta_v(
-                model.apply, params, gv, sphi, lvol, cfg
+            lambda pr, gv_, sphi_, lvol_: features.unet_delta_v(
+                model.apply, pr, gv_, sphi_, lvol_, cfg
             )
         )
+        full_j = (lambda f: (lambda: f(params, gv, sphi, lvol)))(full_j)
         print(f"--- {tag} (input {x.shape}, fast_unpool={args.fast_unpool})")
         timeit(lambda: apply_j(params, x), f"net/{tag}", args.iters)
         timeit(feats_j, f"features/{tag}", args.iters)

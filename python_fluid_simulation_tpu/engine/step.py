@@ -236,8 +236,24 @@ def step_3d(
 
     # -- density/position projection (:4587-4590); the fluid-volume
     #    field is NOT needed before the density solve (3D rebuilds cell
-    #    volumes from its own particle scatter) — skip its scatter here
-    lphi = _lphi_of(px)
+    #    volumes from its own particle scatter) — skip its scatter here.
+    #    Non-bucketed: ONE bias-0 cell sort serves this level set, the
+    #    density mass/volume scatter, and the displacement gather
+    sort1 = None
+    if bspec is None:
+        from python_fluid_simulation_tpu.ops.transfers import (
+            make_sort_info,
+        )
+
+        sort1 = make_sort_info(px, p.m, g.res, g.bound_min, g.cell_size)
+        lphi = gshard(
+            compute_fluid_levelset(
+                px, g.res, g.bound_min, g.cell_size, g.dx, pm=p.m,
+                sort_info=sort1,
+            )
+        )
+    else:
+        lphi = _lphi_of(px)
     dres = density_solve_3d(
         ph.rho,
         dt,
@@ -259,6 +275,7 @@ def step_3d(
         mg_opts=sol.mg_opts,
         mesh=mesh,
         bucket=((mesh, bspec) if bspec is not None else None),
+        sort_info=sort1,
     )
     px = dres.px
     if bspec is not None:
@@ -269,7 +286,27 @@ def step_3d(
         p = p2
         px = p.x
         bucket_lost = bucket_lost + l2
-    lphi = _lphi_of(px)
+
+    # -- post-displacement level-set rebuild (:4593) + P2G: particles do
+    #    not move again until G2P, so ONE bias-0 cell sort serves the
+    #    level set, the merged P2G/volume scatter, and G2P's broadcasts
+    shared_sort = None
+    if bspec is None:
+        from python_fluid_simulation_tpu.ops.transfers import (
+            make_sort_info,
+        )
+
+        shared_sort = make_sort_info(
+            px, p.m, g.res, g.bound_min, g.cell_size
+        )
+        lphi = gshard(
+            compute_fluid_levelset(
+                px, g.res, g.bound_min, g.cell_size, g.dx, pm=p.m,
+                sort_info=shared_sort,
+            )
+        )
+    else:
+        lphi = _lphi_of(px)
 
     # -- P2G (:4597-4604) + fluid volume (:4588 recompute, :4593-4594):
     #    all 3 axes AND the dual-lattice volume share one sort + one
@@ -290,6 +327,7 @@ def step_3d(
             g.bound_min, g.cell_size,
             volume=(cfg.particle_dx ** 3, g.dual_cell_size),
             with_sort_info=True,
+            sort_info=shared_sort,
         )
     gm = [gshard(m_a) for m_a in gm]
     gv = [gshard(v_a) for v_a in gv]

@@ -32,6 +32,7 @@ def compute_fluid_levelset(
     cell_size: Sequence[float],
     gdx: float,
     pm: jnp.ndarray | None = None,
+    sort_info=None,
 ) -> jnp.ndarray:
     """Union-of-balls SDF at cell centers.
 
@@ -57,31 +58,54 @@ def compute_fluid_levelset(
     bmin = jnp.asarray(bound_min, dtype=px.dtype)
     h = jnp.asarray(cell_size, dtype=px.dtype)
     hi = jnp.asarray(res, dtype=jnp.int32) - 1
-    gi = jnp.floor((px - bmin) / h).astype(jnp.int32)
-    # home cells of in-domain particles are already in range; the CORNER
-    # clamp happens in fold_clip below, matching cell 4 :281-284
-    gi = jnp.clip(gi, 0, hi)
 
     background = jnp.asarray(3.0 * gdx, px.dtype)
     offsets = list(itertools.product(range(-2, 3), repeat=d))
 
-    # sort particles by home cell FIRST (gathering only the (N,d)
-    # positions/ids), then build the 5^d distance channels from the
-    # sorted data — reordering a prebuilt (N,125) channel matrix was the
-    # dominant cost at 128^3-class particle counts
-    from python_fluid_simulation_tpu.ops.transfers import (
-        padding_dump_ids,
-    )
-
-    idx = _flat_index(gi, res)
-    # padding must not share segments with live particles: the windowed
-    # segment-min only folds the first 2^8 rows of a segment
-    idx = padding_dump_ids(idx, pm, res)
-    if pm is None:
-        sorted_ids, px_s, gi_s = sort_by_segment(idx, px, gi)
-        pm_s = None
+    size_ = 1
+    for s_ in res:
+        size_ *= int(s_)
+    if sort_info is not None:
+        # ride an existing bias-0 home-cell sort (transfers.
+        # make_sort_info / p2g_all): the clipped home-cell key below is
+        # a monotone map of the extended-grid key, so the borrowed
+        # permutation leaves these ids non-decreasing; padding rows are
+        # already last and get fresh distinct out-of-range ids
+        px_s = sort_info.px_sorted
+        gi_s = jnp.clip(
+            jnp.floor((px_s - bmin) / h).astype(jnp.int32), 0, hi
+        )
+        pm_s = None if pm is None else pm[sort_info.order]
+        sorted_ids = _flat_index(gi_s, res)
+        if pm_s is not None:
+            k = sorted_ids.shape[0]
+            sorted_ids = jnp.where(
+                pm_s > 0,
+                sorted_ids,
+                size_ + jnp.arange(k, dtype=sorted_ids.dtype),
+            )
     else:
-        sorted_ids, px_s, gi_s, pm_s = sort_by_segment(idx, px, gi, pm)
+        # sort particles by home cell FIRST (gathering only the (N,d)
+        # positions/ids), then build the 5^d distance channels from the
+        # sorted data — reordering a prebuilt (N,125) channel matrix was
+        # the dominant cost at 128^3-class particle counts
+        from python_fluid_simulation_tpu.ops.transfers import (
+            padding_dump_ids,
+        )
+
+        gi = jnp.floor((px - bmin) / h).astype(jnp.int32)
+        # home cells of in-domain particles are already in range; the
+        # CORNER clamp happens in fold_clip below (cell 4 :281-284)
+        gi = jnp.clip(gi, 0, hi)
+        idx = _flat_index(gi, res)
+        # padding must not share segments with live particles: the
+        # windowed segment-min only folds the first 2^8 rows of a segment
+        idx = padding_dump_ids(idx, pm, res)
+        if pm is None:
+            sorted_ids, px_s, gi_s = sort_by_segment(idx, px, gi)
+            pm_s = None
+        else:
+            sorted_ids, px_s, gi_s, pm_s = sort_by_segment(idx, px, gi, pm)
 
     # distance channels computed axis-by-axis in (N, 5^d) layout — pure
     # 2D arrays whose lane dim pads 125 -> 128 (a per-offset norm loop

@@ -242,6 +242,28 @@ def _group_threshold() -> int:
     return int(os.environ.get("PFS_GROUP_CELLS", 4_000_000))
 
 
+def make_sort_info(px, pm, gres, bound_min, cell_size) -> "SortInfo":
+    """One bias-0 home-cell sort over `px`, shareable by every consumer
+    of the same positions: `p2g_all` (pass as ``sort_info``), G2P, and
+    `ops.levelset.compute_fluid_levelset` — the level set's clipped
+    home-cell key is a monotone map of the extended-grid key, so the
+    same permutation leaves its ids non-decreasing.  The step uses this
+    to run the post-displacement level-set rebuild and P2G off a single
+    argsort (four per-step particle sorts -> two)."""
+    from python_fluid_simulation_tpu.ops.scatter import (
+        home_ids_extended,
+    )
+
+    d = px.shape[-1]
+    gi0, _, _ = _corner_setup(px, bound_min, cell_size, (0.0,) * d)
+    ids, ext = home_ids_extended(gi0, gres)
+    ids = padding_dump_ids(ids, pm, ext)
+    order = jnp.argsort(ids)
+    return SortInfo(
+        sorted_ids=ids[order], order=order, ext=ext, px_sorted=px[order]
+    )
+
+
 def p2g_all(
     px: jnp.ndarray,
     pm: jnp.ndarray,
@@ -254,6 +276,7 @@ def p2g_all(
     cell_size: Sequence[float],
     volume=None,
     with_sort_info: bool = False,
+    sort_info: "SortInfo | None" = None,
 ):
     """All axes' P2G in ONE sort + segmented sum + dense placement.
 
@@ -289,17 +312,20 @@ def p2g_all(
     )
 
     d = px.shape[-1]
-    gi0, _, _ = _corner_setup(px, bound_min, cell_size, (0.0,) * d)
 
     # sort the RAW particle payload (17 columns: x, m, v, c) and build
     # the ~135 scatter channels from the sorted arrays — the take moves
     # 8x fewer bytes than reordering a prebuilt channel matrix, and the
     # (K, 135) matrix is never materialised twice
-    ids, ext = home_ids_extended(gi0, gres)
-    ids = padding_dump_ids(ids, pm, ext)
-    order = jnp.argsort(ids)
-    sorted_ids = ids[order]
-    px_s = px[order]
+    if sort_info is None:
+        gi0, _, _ = _corner_setup(px, bound_min, cell_size, (0.0,) * d)
+        ids, ext = home_ids_extended(gi0, gres)
+        ids = padding_dump_ids(ids, pm, ext)
+        order = jnp.argsort(ids)
+        sorted_ids = ids[order]
+        px_s = px[order]
+    else:
+        sorted_ids, order, ext, px_s = sort_info
     pm_s = pm[order]
     pv_s = pv[order]
     pc_s = pc[order]
@@ -307,8 +333,7 @@ def p2g_all(
         px_s, pm_s, pv_s, pc_s, biases, bound_min, cell_size, volume
     )
     sorted_vals = jnp.concatenate(blocks, axis=-1)
-    sort_info = None
-    if with_sort_info:
+    if with_sort_info and sort_info is None:
         sort_info = SortInfo(
             sorted_ids=sorted_ids,
             order=order,

@@ -49,13 +49,20 @@ def scatter_mass_volume(
     bound_min: Sequence[float],
     cell_size: Sequence[float],
     with_sort_info: bool = False,
+    sort_info=None,
 ):
     """Cell-center trilinear scatter of particle mass and volume.
 
     Reference: initialize_density_kernel (DensityCGSolver3D.py:8-36).
-    With ``with_sort_info`` also returns the cell sort (over CENTER
-    homes, bias 0.5) for reuse by `apply_displacement_all` — positions
-    don't change between this scatter and the displacement gather.
+    The sort key is the BIAS-0 home cell (`transfers.make_sort_info`'s
+    key): the center-biased home gc = floor(t-0.5) is b0 - {0,1} per
+    axis, so the 2^d trilinear corners land in b0 + {-1,0,1} and the
+    corner channels widen to 3^d with exact weights (inapplicable
+    offsets get weight 0) — the lane dim pads to 128 either way, so the
+    widening is free while one sort now serves this scatter, the
+    displacement gather, AND the fluid level set over the same
+    positions.  With ``with_sort_info`` the cell sort is returned for
+    reuse; ``sort_info`` passes one in (skipping the argsort).
     """
     from python_fluid_simulation_tpu.ops.scatter import (
         channels_first,
@@ -63,38 +70,46 @@ def scatter_mass_volume(
         home_ids_extended,
         segment_sum_sorted,
     )
-    from python_fluid_simulation_tpu.ops.transfers import SortInfo
-
     from python_fluid_simulation_tpu.ops.transfers import (
+        SortInfo,
         padding_dump_ids,
     )
 
     d = px.shape[-1]
-    gi, _, _ = _corner_setup(px, bound_min, cell_size, (0.5,) * d)
 
-    # sort the raw (x, m) payload first, build the 16 corner channels
-    # from the sorted arrays (see transfers.p2g_all); padding rows get
-    # dump ids so they never share segments with live particles
-    ids, ext = home_ids_extended(gi, gres)
-    ids = padding_dump_ids(ids, pm, ext)
-    order = jnp.argsort(ids)
-    sorted_ids = ids[order]
-    px_s = px[order]
+    if sort_info is None:
+        gi0, _, _ = _corner_setup(px, bound_min, cell_size, (0.0,) * d)
+        ids, ext = home_ids_extended(gi0, gres)
+        ids = padding_dump_ids(ids, pm, ext)
+        order = jnp.argsort(ids)
+        sorted_ids = ids[order]
+        px_s = px[order]
+    else:
+        sorted_ids, order, ext, px_s = sort_info
     pm_s = pm[order]
-    _, _, w = _corner_setup(px_s, bound_min, cell_size, (0.5,) * d)
+    gi0_s, _, _ = _corner_setup(px_s, bound_min, cell_size, (0.0,) * d)
+    gi_c, _, w = _corner_setup(px_s, bound_min, cell_size, (0.5,) * d)
+    delta = gi_c - gi0_s  # in {-1, 0}: which side of the cell center
 
-    corners = list(itertools.product((0, 1), repeat=d))
+    corners = list(itertools.product((-1, 0, 1), repeat=d))
     # zero-mass particles are DP-sharding padding and contribute no
     # volume either (ops/levelset.compute_fluid_levelset docstring)
     pv = pvol * (pm_s > 0)
     chans = []
     for offs in corners:
-        weight = _corner_weight(w, offs)
+        # corner cell = b0 + offs = gc + (offs - delta); trilinear
+        # weight applies where offs - delta in {0, 1}
+        weight = None
+        for dd, o in enumerate(offs):
+            c = o - delta[:, dd]
+            wd = jnp.where(
+                c == 0, 1.0 - w[:, dd], jnp.where(c == 1, w[:, dd], 0.0)
+            )
+            weight = wd if weight is None else weight * wd
         chans.append(weight * pm_s)
         chans.append(weight * pv)
     sorted_vals = jnp.stack(chans, axis=-1)
-    sort_info = None
-    if with_sort_info:
+    if with_sort_info and sort_info is None:
         sort_info = SortInfo(
             sorted_ids=sorted_ids,
             order=order,
@@ -108,10 +123,10 @@ def scatter_mass_volume(
     seg_cf = channels_first(seg, ext)
 
     gm = fold_scattered_sep(
-        seg_cf[0::2], [(-1, 0)] * d, tuple(gres), "add", 0.0
+        seg_cf[0::2], [(-2, -1, 0)] * d, tuple(gres), "add", 0.0
     )
     gvol = fold_scattered_sep(
-        seg_cf[1::2], [(-1, 0)] * d, tuple(gres), "add", 0.0
+        seg_cf[1::2], [(-2, -1, 0)] * d, tuple(gres), "add", 0.0
     )
     if with_sort_info:
         return gm, gvol, sort_info
@@ -380,12 +395,12 @@ def apply_displacement_all(
     order (that path was 73 ms/step of the 351 ms 128^3 step — per-corner
     row-bound gathers, round-2 profile).  Same construction as
     `transfers.g2p_all`: each corner value is a clamped static shift of
-    the face array evaluated at the particle's CENTER home cell (bias
-    0.5, the sort key of `scatter_mass_volume`); the face-biased home is
-    rebased exactly — own-axis home = center home + {0,1}, transverse
-    identical — so own-axis offsets widen to {0,1,2}.  The clamp here is
-    to the *face array* dims (DensityCGSolver3D.py:232-234), unlike
-    G2P's base-resolution clamp.
+    the face array evaluated at the particle's BIAS-0 home cell (the
+    shared sort key of `scatter_mass_volume`/`make_sort_info`); the
+    face-biased home is rebased exactly — own-axis home = b0,
+    transverse home = b0 - {0,1} — so transverse offsets widen to
+    {-1,0,1}.  The clamp here is to the *face array* dims
+    (DensityCGSolver3D.py:232-234), unlike G2P's base-resolution clamp.
 
     Returns the (K, d) displacement in ORIGINAL particle order.
     """
@@ -407,7 +422,7 @@ def apply_displacement_all(
         arr = disp_faces[a]
         padded = jnp.pad(arr, 2, mode="edge")
         offs_range = [
-            (0, 1, 2) if k == a else (0, 1) for k in range(d)
+            (0, 1) if k == a else (-1, 0, 1) for k in range(d)
         ]
         offs_list = list(_it.product(*offs_range))
         offs_lists.append(offs_list)
@@ -421,13 +436,13 @@ def apply_displacement_all(
     table = jnp.stack(chans, axis=-1)
     vals = segment_broadcast_sorted(table, sort_info.sorted_ids)
 
-    gi_c, _, _ = _corner_setup(px_s, bound_min, cell_size, (0.5,) * d)
+    gi_0, _, _ = _corner_setup(px_s, bound_min, cell_size, (0.0,) * d)
     outs = []
     col = 0
     for a in range(d):
         bias = _face_bias(a, d)
         gi_a, _, w_a = _corner_setup(px_s, bound_min, cell_size, bias)
-        delta = gi_a - gi_c  # {0,1} on own axis, 0 transverse — exact
+        delta = gi_a - gi_0  # 0 on own axis, {-1,0} transverse — exact
         offs_arr = jnp.asarray(offs_lists[a], jnp.int32)
         o = offs_arr[None, :, :] - delta[:, None, :]
         wd = jnp.where(
@@ -470,6 +485,7 @@ def density_solve_3d(
     mg_opts=None,
     mesh=None,
     bucket=None,
+    sort_info=None,
 ) -> DensityResult:
     """Full density projection; returns moved particle positions.
 
@@ -477,7 +493,9 @@ def density_solve_3d(
     ``bucket=(mesh, BucketSpec)`` switches the particle scatter and the
     displacement gather to the shard-local bucketed transfers
     (parallel/particles.py); the CG solve itself is already distributed
-    via ``mesh``.
+    via ``mesh``.  ``sort_info`` (non-bucketed only) shares an existing
+    bias-0 cell sort of `px` (transfers.make_sort_info) with the scatter
+    and the displacement gather.
     """
     gres = lphi.shape
     d = len(gres)
@@ -492,7 +510,8 @@ def density_solve_3d(
         )
     else:
         gm, gvol, sort_info = scatter_mass_volume(
-            px, pm, pvol, gres, bound_min, cell_size, with_sort_info=True
+            px, pm, pvol, gres, bound_min, cell_size,
+            with_sort_info=True, sort_info=sort_info,
         )
     gvol = fix_volume(gvol, sphi, lphi, w_faces, cell_size)
     b = density_rhs(rho0, dt, gm, gvol, lphi, w_faces, cell_size)

@@ -507,15 +507,31 @@ def viscosity_solve_3d(
             # Jacobi's early-iteration plateau projects inflated counts
             # and MG is ~2x WORSE in the early regime — measured 640 vs
             # 253 ms/step on TPU coiling-256.)
-            mg = make_viscosity_mg_preconditioner(fields[0], fields[1])
+            # The cond wraps the WHOLE solve, not the precond apply:
+            # with a per-iteration cond the Galerkin hierarchy build is
+            # a captured operand computed unconditionally EVERY step —
+            # the Jacobi regime paid the full MG setup without using it
+            # (measured 5x step blowup on coiling-256).  Inside the
+            # branch it runs only when MG is actually selected.
+            def solve_mg(_):
+                mg = make_viscosity_mg_preconditioner(
+                    fields[0], fields[1]
+                )
+                return cg(
+                    matvec, b, x0,
+                    tol=tol, rel_tol=rel_tol, max_iter=max_iter,
+                    precond=mg,
+                )
 
-            def precond(rs):
-                return jax.lax.cond(auto_use_mg, mg, jac, rs)
+            def solve_jac(_):
+                return cg(
+                    matvec, b, x0,
+                    tol=tol, rel_tol=rel_tol, max_iter=max_iter,
+                    precond=jac,
+                )
 
-            x, stats = cg(
-                matvec, b, x0,
-                tol=tol, rel_tol=rel_tol, max_iter=max_iter,
-                precond=precond,
+            x, stats = jax.lax.cond(
+                auto_use_mg, solve_mg, solve_jac, 0
             )
         else:
             precond = None

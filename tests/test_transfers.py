@@ -245,3 +245,43 @@ def test_levelset_grouped_matches_ungrouped(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), atol=1e-6
     )
+
+
+def test_external_sort_info_matches_internal():
+    """p2g_all and compute_fluid_levelset riding one make_sort_info sort
+    must equal their self-sorting paths — including zero-mass padding
+    rows mixed through the array (the engine's shared-sort fast path)."""
+    from python_fluid_simulation_tpu.ops.levelset import (
+        compute_fluid_levelset,
+    )
+    from python_fluid_simulation_tpu.ops.transfers import (
+        make_sort_info,
+        p2g_all,
+    )
+
+    x, v, m = _rand_particles(300, seed=11)
+    # pad every 5th row (engine m=0 convention), park them at one spot
+    m = m.at[::5].set(0.0)
+    x = x.at[::5].set(jnp.asarray([0.51, 0.52, 0.53]))
+    rng = np.random.default_rng(12)
+    pc = jnp.asarray(rng.standard_normal((300, 3, 3)) * 0.1, jnp.float32)
+    fsh = [_face_shape(a) for a in range(3)]
+    hdual = tuple(hh / 2 for hh in H)
+    vol = (0.001, hdual)
+
+    si = make_sort_info(x, m, GRES, BMIN, H)
+    gms0, gvs0, cls0 = p2g_all(
+        x, m, v, pc, GRES, fsh, BIAS, BMIN, H, volume=vol
+    )
+    gms1, gvs1, cls1 = p2g_all(
+        x, m, v, pc, GRES, fsh, BIAS, BMIN, H, volume=vol, sort_info=si
+    )
+    for a in range(3):
+        np.testing.assert_allclose(gms0[a], gms1[a], atol=1e-5)
+        np.testing.assert_allclose(gvs0[a], gvs1[a], atol=1e-5)
+    for k in cls0:
+        np.testing.assert_allclose(cls0[k], cls1[k], atol=1e-5)
+
+    l0 = compute_fluid_levelset(x, GRES, BMIN, H, H[0], pm=m)
+    l1 = compute_fluid_levelset(x, GRES, BMIN, H, H[0], pm=m, sort_info=si)
+    np.testing.assert_allclose(l0, l1, atol=1e-6)
