@@ -102,7 +102,14 @@ def main():
         out = apply_j(params, x)
         extract_j = jax.jit(
             lambda out=out: features.extract_delta_v(
-                out, sphi.shape, [v.shape for v in gv]
+                out, sphi.shape, [v.shape for v in gv],
+                via_reshape=False,
+            )
+        )
+        extract_r = jax.jit(
+            lambda out=out: features.extract_delta_v(
+                out, sphi.shape, [v.shape for v in gv],
+                via_reshape=True,
             )
         )
         # params/fields as ARGUMENTS: a 69M-param closure bakes 275 MB
@@ -117,6 +124,7 @@ def main():
         timeit(lambda: apply_j(params, x), f"net/{tag}", args.iters)
         timeit(feats_j, f"features/{tag}", args.iters)
         timeit(lambda: extract_j(), f"extract/{tag}", args.iters)
+        timeit(lambda: extract_r(), f"extract_reshape/{tag}", args.iters)
         timeit(full_j, f"full/{tag}", args.iters)
 
         if args.trace and tag == "fp32":

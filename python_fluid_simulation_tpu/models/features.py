@@ -107,9 +107,37 @@ def extract_delta_v(
     output: jnp.ndarray,
     dual_res: Sequence[int],
     face_shapes,
+    via_reshape: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """De-interleave the 3 output channels at face parities (:909-911)."""
+    """De-interleave the 3 output channels at face parities (:909-911).
+
+    ``via_reshape`` extracts through one (X,2,Y,2,Z,2,3) parity view —
+    stride-2 slices of the conv-layout box lower to strided gathers
+    (measured 44 ms of the 316 ms unet-mode step); the reshape form is
+    contiguous slices + static parity indices.
+    """
     _, pad = padded_box(dual_res)
+    if via_reshape:
+        box = output[0]
+        bx, by, bz, _ = box.shape
+        r = box.reshape(bx // 2, 2, by // 2, 2, bz // 2, 2, -1)
+        out = []
+        for a in range(3):
+            parity = _FACE_PARITY[a]
+            n = face_shapes[a]
+            (sx, tx), (sy, ty), (sz, tz) = (
+                ((p + q) // 2, (p + q) % 2)
+                for p, q in zip(pad, parity)
+            )
+            out.append(
+                r[
+                    sx : sx + n[0], tx,
+                    sy : sy + n[1], ty,
+                    sz : sz + n[2], tz,
+                    a,
+                ]
+            )
+        return tuple(out)
     out = []
     for a in range(3):
         parity = _FACE_PARITY[a]

@@ -123,6 +123,10 @@ def test_embed_extract_roundtrip():
     out = extract_delta_v(embedded, dual, fshapes)
     for a in range(3):
         np.testing.assert_array_equal(np.asarray(out[a]), np.asarray(fields[a]))
+    # the strided-slice form must agree with the parity-reshape default
+    out_s = extract_delta_v(embedded, dual, fshapes, via_reshape=False)
+    for a in range(3):
+        np.testing.assert_array_equal(np.asarray(out[a]), np.asarray(out_s[a]))
 
 
 def test_build_unet_input_channels():
