@@ -29,14 +29,23 @@ def padded_box(dual_res: Sequence[int]) -> Tuple[Tuple[int, int, int], Tuple[int
 
 
 def _embed(field, data_size, pad, parity):
-    """Place a face-parity field at its dual-lattice sites inside the box."""
-    out = jnp.zeros(data_size, field.dtype)
-    # start = pad + parity, stride 2, length = field extent
-    sl = tuple(
-        slice(p + q, p + q + 2 * n, 2)
-        for p, q, n in zip(pad, parity, field.shape)
+    """Place a face-parity field at its dual-lattice sites inside the box.
+
+    Via the (X,2,Y,2,Z,2) parity view: a stride-2 `.at[].set` lowers to
+    a strided scatter, while the reshaped form is a contiguous
+    slice-assign + one free-ish reshape (same trick as
+    `extract_delta_v`)."""
+    r = jnp.zeros(
+        tuple(s for d_ in data_size for s in (d_ // 2, 2)), field.dtype
     )
-    return out.at[sl].set(field)
+    (sx, tx), (sy, ty), (sz, tz) = (
+        ((p + q) // 2, (p + q) % 2) for p, q in zip(pad, parity)
+    )
+    n = field.shape
+    r = r.at[
+        sx : sx + n[0], tx, sy : sy + n[1], ty, sz : sz + n[2], tz
+    ].set(field)
+    return r.reshape(data_size)
 
 
 def _masked_central_diff(g, axis):
