@@ -326,9 +326,17 @@ def p2g_all(
         px_s = px[order]
     else:
         sorted_ids, order, ext, px_s = sort_info
-    pm_s = pm[order]
-    pv_s = pv[order]
-    pc_s = pc[order]
+    # ONE payload take: each permutation gather is row-bound (~4-36
+    # useful bytes/row), so (m, v, c) ride a single (K, 13) gather
+    # instead of three
+    n_p = px.shape[0]
+    payload = jnp.concatenate(
+        [pm[:, None], pv, pc.reshape(n_p, -1)], axis=-1
+    )
+    pay_s = payload[order]
+    pm_s = pay_s[:, 0]
+    pv_s = pay_s[:, 1 : 1 + d]
+    pc_s = pay_s[:, 1 + d :].reshape(n_p, d, d)
     blocks, specs, vol_rs, _ = _p2g_channels(
         px_s, pm_s, pv_s, pc_s, biases, bound_min, cell_size, volume
     )
@@ -361,6 +369,10 @@ def p2g_all(
             )
 
     else:
+        # one merged placement for all 135 channels.  [Splitting on the
+        # 128-lane tile boundary (108 p2g + 27 volume) was tried and
+        # LOST (366 vs 351 ms/step at 128^3): the scatter is row-bound,
+        # so two K-row scatters cost more than one wider one.]
         seg = segment_sum_sorted(sorted_vals, sorted_ids, size)
         seg_cf = channels_first(seg, ext)
 
