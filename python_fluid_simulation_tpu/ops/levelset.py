@@ -219,7 +219,7 @@ def compute_fluid_volume(
     size = 1
     for s in ext:
         size *= s
-    seg = segment_sum_sorted(sorted_vals, sorted_ids, size)
+    seg = segment_sum_sorted(sorted_vals, sorted_ids, size, widen=True)
     seg_cf = channels_first(seg, ext)
 
     vol = fold_scattered_sep(
@@ -300,7 +300,7 @@ def compute_fluid_volume_classes(
     size = 1
     for e in ext:
         size *= e
-    seg = segment_sum_sorted(sorted_vals, sorted_ids, size)
+    seg = segment_sum_sorted(sorted_vals, sorted_ids, size, widen=True)
     seg_cf = channels_first(seg, ext)  # (3^d, ext...)
 
     fine_vol = 1.0

@@ -64,7 +64,8 @@ def _place_at_last(values, sorted_ids, last, num_segments, fill):
 
 
 def segment_sum_sorted(
-    vals: jnp.ndarray, sorted_ids: jnp.ndarray, num_segments: int
+    vals: jnp.ndarray, sorted_ids: jnp.ndarray, num_segments: int,
+    widen: bool = False,
 ) -> jnp.ndarray:
     """Per-segment sums of already-sorted values.
 
@@ -72,8 +73,23 @@ def segment_sum_sorted(
     All-parallel: cumsum + segment-start backpointers (cummax) + one
     unique-index scatter — no per-segment binary search (a dense
     searchsorted over millions of segments dominated the profile).
+
+    ``widen=True`` pads the channel dim with zero columns to 81 when
+    C <= 64 (sliced back off the result): XLA assigns the placement
+    scatter a TRANSPOSED ({0,1}) layout for narrow channel counts
+    (channels ride the sublane dim to make a downstream moveaxis free),
+    which turns the K-row scatter into a strided-write disaster —
+    measured 61 ms/step at 128^3 for the 54-column density placement vs
+    ~6 ms for the >=81-column row-major form.  The lane dim pads 54 and
+    81 to 128 alike, so the spare columns are free everywhere en route.
     """
     k = sorted_ids.shape[0]
+    n_real = None
+    if widen and vals.ndim == 2 and vals.shape[-1] <= 64:
+        n_real = vals.shape[-1]
+        vals = jnp.concatenate(
+            [vals, jnp.zeros((k, 81 - n_real), vals.dtype)], axis=-1
+        )
     first, last = _segment_marks(sorted_ids)
     c = jnp.cumsum(vals, axis=0)
     start_idx = jax.lax.cummax(
@@ -82,7 +98,10 @@ def segment_sum_sorted(
     base = jnp.take(c, jnp.maximum(start_idx - 1, 0), axis=0)
     base = jnp.where(_bcast(start_idx > 0, base), base, 0.0)
     totals = c - base
-    return _place_at_last(totals, sorted_ids, last, num_segments, 0.0)
+    out = _place_at_last(totals, sorted_ids, last, num_segments, 0.0)
+    if n_real is not None:
+        out = out[:, :n_real]
+    return out
 
 
 def segment_min_sorted(
@@ -164,6 +183,30 @@ def segment_broadcast_sorted(
         nids = shift(sorted_ids, (-s,), -1)
         vals = vals + jnp.where(_bcast(nids == sorted_ids, vals), nvals, 0.0)
     return vals
+
+
+def unsort_rows(values: jnp.ndarray, order: jnp.ndarray) -> jnp.ndarray:
+    """Invert a sort permutation: out[order[i]] = values[i].
+
+    values: (K, C).  Same narrow-channel layout trap as
+    `segment_sum_sorted`: XLA gives the (K, C<=64) permutation scatter a
+    transposed {0,1} layout (measured 16 ms/step for the C=12 G2P unsort
+    at 128^3); zero-padding the channels to 81 forces the row-major form
+    (~free: the lane dim pads to 128 either way).
+    """
+    k, c = values.shape
+    n_real = None
+    if c <= 64:
+        n_real = c
+        values = jnp.concatenate(
+            [values, jnp.zeros((k, 81 - c), values.dtype)], axis=-1
+        )
+    out = jnp.zeros_like(values).at[order].set(
+        values, unique_indices=True
+    )
+    if n_real is not None:
+        out = out[:, :n_real]
+    return out
 
 
 def _place_at_first(values, sorted_ids, first, num_segments, fill):

@@ -145,7 +145,7 @@ def p2g_axis(
     size = 1
     for s in ext:
         size *= s
-    seg = segment_sum_sorted(sorted_vals, sorted_ids, size)
+    seg = segment_sum_sorted(sorted_vals, sorted_ids, size, widen=True)
     seg_cf = channels_first(seg, ext)
 
     base_shape = tuple(gres)
@@ -365,7 +365,8 @@ def p2g_all(
         def group_cf(cols):
             sub = sorted_vals[:, jnp.asarray(cols)]
             return channels_first(
-                segment_sum_sorted(sub, sorted_ids, size), ext
+                segment_sum_sorted(sub, sorted_ids, size, widen=True),
+                ext,
             )
 
     else:
@@ -373,7 +374,7 @@ def p2g_all(
         # 128-lane tile boundary (108 p2g + 27 volume) was tried and
         # LOST (366 vs 351 ms/step at 128^3): the scatter is row-bound,
         # so two K-row scatters cost more than one wider one.]
-        seg = segment_sum_sorted(sorted_vals, sorted_ids, size)
+        seg = segment_sum_sorted(sorted_vals, sorted_ids, size, widen=True)
         seg_cf = channels_first(seg, ext)
 
         def group_cf(cols):
@@ -544,9 +545,9 @@ def g2p_all(
     res_sorted = _g2p_reduce(
         vals, px_s, offs_lists, biases, bound_min, cell_size
     )
-    res = jnp.zeros_like(res_sorted).at[order].set(
-        res_sorted, unique_indices=True
-    )
+    from python_fluid_simulation_tpu.ops.scatter import unsort_rows
+
+    res = unsort_rows(res_sorted, order)
     pv = res[:, 0 :: (1 + d)]
     pc = jnp.stack(
         [res[:, a * (1 + d) + 1 : (a + 1) * (1 + d)] for a in range(d)],

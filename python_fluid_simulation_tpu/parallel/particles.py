@@ -411,7 +411,7 @@ def sharded_p2g_all(
         size = 1
         for s in ext:
             size *= s
-        seg = segment_sum_sorted(sorted_vals, sorted_ids, size)
+        seg = segment_sum_sorted(sorted_vals, sorted_ids, size, widen=True)
         seg_cf = channels_first(seg, ext)
 
         outs = []
@@ -754,10 +754,9 @@ def sharded_g2p_all(
         res_sorted = _g2p_reduce(
             vals, px_s, offs_lists, biases, bound_min, cell_size
         )
-        res = jnp.zeros_like(res_sorted).at[order].set(
-            res_sorted, unique_indices=True
-        )
-        return res
+        from python_fluid_simulation_tpu.ops.scatter import unsort_rows
+
+        return unsort_rows(res_sorted, order)
 
     sp = P(axis)
     mapped = shard_map(
@@ -845,7 +844,7 @@ def sharded_scatter_mass_volume(
         size = 1
         for s in ext:
             size *= s
-        seg = segment_sum_sorted(sorted_vals, sorted_ids, size)
+        seg = segment_sum_sorted(sorted_vals, sorted_ids, size, widen=True)
         seg_cf = channels_first(seg, ext)
 
         outs = []
@@ -978,9 +977,9 @@ def sharded_apply_displacement(
                 jnp.sum(jnp.prod(wd, axis=-1) * v_a, axis=-1)
             )
         disp_sorted = jnp.stack(outs, axis=-1)
-        return jnp.zeros_like(disp_sorted).at[order].set(
-            disp_sorted, unique_indices=True
-        )
+        from python_fluid_simulation_tpu.ops.scatter import unsort_rows
+
+        return unsort_rows(disp_sorted, order)
 
     sp = P(axis)
     mapped = shard_map(

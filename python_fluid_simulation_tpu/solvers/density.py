@@ -119,7 +119,7 @@ def scatter_mass_volume(
     size = 1
     for s in ext:
         size *= s
-    seg = segment_sum_sorted(sorted_vals, sorted_ids, size)
+    seg = segment_sum_sorted(sorted_vals, sorted_ids, size, widen=True)
     seg_cf = channels_first(seg, ext)
 
     gm = fold_scattered_sep(
@@ -453,9 +453,9 @@ def apply_displacement_all(
         col += len(offs_lists[a])
         outs.append(jnp.sum(jnp.prod(wd, axis=-1) * v_a, axis=-1))
     disp_sorted = jnp.stack(outs, axis=-1)
-    return jnp.zeros_like(disp_sorted).at[sort_info.order].set(
-        disp_sorted, unique_indices=True
-    )
+    from python_fluid_simulation_tpu.ops.scatter import unsort_rows
+
+    return unsort_rows(disp_sorted, sort_info.order)
 
 
 class DensityResult(NamedTuple):
