@@ -283,6 +283,13 @@ def fold_scattered(
     return fold_clip(acc, tuple(min_s), out_shape, combine, fill)
 
 
+import os
+
+# Opt-in: the Pallas fold is bit-exact but measured perf-neutral in
+# isolation and slightly slower end-to-end (pallas_fold.py docstring).
+_FOLD_PALLAS = os.environ.get("PFS_PALLAS_FOLD", "0") != "0"
+
+
 def fold_scattered_sep(
     seg: jnp.ndarray,
     axis_shifts,
@@ -306,6 +313,18 @@ def fold_scattered_sep(
     for s in sizes:
         n_ch *= s
     assert seg.shape[0] == n_ch, (seg.shape, sizes)
+    if _FOLD_PALLAS:
+        from python_fluid_simulation_tpu.ops.pallas_fold import (
+            fold_pallas_available,
+            fold_scattered_sep_pallas,
+        )
+
+        if fold_pallas_available(
+            seg.shape, out_shape, axis_shifts, noclip_axes
+        ):
+            return fold_scattered_sep_pallas(
+                seg, axis_shifts, out_shape, combine, fill
+            )
     min_s = [min(s) for s in axis_shifts]
     max_s = [max(s) for s in axis_shifts]
     cur = seg.reshape(tuple(sizes) + seg.shape[1:])

@@ -164,3 +164,50 @@ def test_segment_broadcast_sorted_matches_take():
     np.testing.assert_array_equal(
         np.asarray(out), np.asarray(table)[ids]
     )
+
+
+def test_pallas_fold_matches_xla_fold():
+    """fold_scattered_sep_pallas (interpret mode) == the XLA fold, for
+    every shift family the engine uses, add and min, both ext flavours
+    (E = N+2 cell-extended and E = N+1 parity-class outputs)."""
+    from python_fluid_simulation_tpu.ops.pallas_fold import (
+        fold_pallas_available,
+        fold_scattered_sep_pallas,
+    )
+    from python_fluid_simulation_tpu.ops.scatter import (
+        fold_scattered_sep,
+    )
+
+    rng = np.random.default_rng(3)
+    cases = [
+        # (out_shape, axis_shifts, combine, fill)   engine users:
+        ((9, 10, 11), [(-1, 0)] * 3, "add", 0.0),          # p2g own axis
+        ((9, 10, 11), [(-1, 0), (-2, -1, 0), (-2, -1, 0)],
+         "add", 0.0),                                      # p2g x-axis
+        ((9, 10, 11), [(-2, -1, 0)] * 3, "add", 0.0),      # density
+        ((9, 10, 11), [(-2, -1, 0, 1, 2)] * 3, "min", 3.0),  # levelset
+        ((10, 10, 11), [(-1, 0)] * 3, "add", 0.0),         # class N+1
+    ]
+    for out_shape, axis_shifts, combine, fill in cases:
+        n_ch = 1
+        for s in axis_shifts:
+            n_ch *= len(s)
+        for ext_off in (2, 1):
+            ext = tuple(n + ext_off for n in out_shape)
+            seg = jnp.asarray(
+                rng.standard_normal((n_ch,) + ext).astype(np.float32)
+            )
+            assert fold_pallas_available(
+                seg.shape, out_shape, axis_shifts, interpret=True
+            ), (out_shape, axis_shifts, ext_off)
+            want = fold_scattered_sep(
+                seg, axis_shifts, out_shape, combine, fill
+            )
+            got = fold_scattered_sep_pallas(
+                seg, axis_shifts, out_shape, combine, fill,
+                interpret=True,
+            )
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=2e-6, atol=2e-6,
+                err_msg=str((out_shape, axis_shifts, combine, ext_off)),
+            )
