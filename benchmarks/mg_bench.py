@@ -45,6 +45,11 @@ def main():
     p.add_argument("--steps", type=int, default=5)
     p.add_argument("--res", type=int, default=128)
     p.add_argument("--out", default=None)
+    p.add_argument(
+        "--variants",
+        default=None,
+        help="comma-separated variant names to run (default: all)",
+    )
     args = p.parse_args()
 
     import jax
@@ -73,6 +78,9 @@ def main():
         ("mg_1_32_40", dict(precond="mg", mg_opts=(1, 32, 40))),
         ("mg_2_32_40", dict(precond="mg", mg_opts=(2, 32, 40))),
     ]
+    if args.variants:
+        keep = set(args.variants.split(","))
+        variants = [v for v in variants if v[0] in keep]
     results = {}
     for name, kw in variants:
         cfg = dataclasses.replace(

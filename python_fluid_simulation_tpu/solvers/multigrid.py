@@ -51,54 +51,85 @@ def _matvec(level: _Level, p):
     return out
 
 
+def _axis_halve(a, axis, parity):
+    """Halve one axis: parity=None sums both children, 0/1 selects the
+    even/odd child.  Minor two axes (sublane/lane) ride the MXU with
+    0/1 selection matrices; leading axes use free-major reshape ops —
+    the (…,2)-local-axes transpose form this replaces materialised
+    ~0.3 ms relayouts per field at 128^3 (the MG solve's per-step
+    Galerkin setup was ~4 ms, rivaling its whole PCG loop)."""
+    d = a.ndim
+    s = a.shape[axis]
+    if axis >= d - 2:
+        if parity is None:
+            m = _half_mat(s)
+        else:
+            import numpy as np
+
+            sel = np.zeros((s, (s + 1) // 2), np.float32)
+            idx = np.arange(parity, s, 2)
+            sel[idx, idx // 2] = 1.0
+            m = jnp.asarray(sel)
+        import jax
+
+        if axis == d - 1:
+            return jnp.einsum(
+                "...z,zv->...v", a, m,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        return jnp.einsum(
+            "...yz,yu->...uz", a, m,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    # leading (major) axis: free reshape
+    if s % 2:
+        pad = [(0, 0)] * d
+        pad[axis] = (0, 1)
+        a = jnp.pad(a, pad)
+    shp = (
+        list(a.shape[:axis]) + [a.shape[axis] // 2, 2]
+        + list(a.shape[axis + 1:])
+    )
+    r = a.reshape(shp)
+    if parity is None:
+        return r.sum(axis=axis + 1)
+    return jnp.take(r, parity, axis=axis + 1)
+
+
 def _coarsen(diag, coefs):
     """Galerkin RAP with piecewise-constant transfers (see module doc).
 
-    All per-parity (::2) child selections go through one free reshape
-    (row-major (X,Y,Z) -> (X/2,2,...)) per field instead of 2^d strided
-    gathers; masked reductions over the local-index axes express the
-    internal/boundary-children sums."""
+    Expressed as separable per-axis halvings (sum / even-child /
+    odd-child), which keep the minor axes on the MXU (`_axis_halve`):
+
+      coarse diag        = Σ_children diag + 2 Σ_axis (even-child along
+                           axis, summed along the others) coef(+axis)
+      coarse coef(±axis) = (odd/even-child along axis, summed along the
+                           others) coef(±axis)
+    """
     d = diag.ndim
 
-    def kids(a):
-        """(coarse..., 2^d) local-child-index-last view, free reshape +
-        one transpose of the tiny local axes."""
-        a = _pad_even(a)
-        shp = []
-        for s_ in a.shape:
-            shp += [s_ // 2, 2]
-        r = a.reshape(shp)
-        # move the d local axes (1,3,5,..) to the back
-        perm = list(range(0, 2 * d, 2)) + list(range(1, 2 * d, 2))
-        return r.transpose(perm)
+    def halve(a, parities):
+        for axis in range(d):
+            a = _axis_halve(a, axis, parities[axis])
+        return a
 
-    kd = kids(diag)
-    kcoefs = {off: kids(c) for off, c in coefs}
-
-    # coarse diag: sum of child diags + 2 * internal couplings
-    diag_c = kd.sum(axis=tuple(range(d, 2 * d)))
+    cmap = dict(coefs)
+    diag_c = halve(diag, (None,) * d)
     for axis in range(d):
         plus = tuple(1 if k == axis else 0 for k in range(d))
-        cplus = kcoefs[plus]
-        # children with even local index along `axis` couple to their
-        # odd sibling through cplus
-        diag_c = diag_c + 2.0 * jnp.take(cplus, 0, axis=d + axis).sum(
-            axis=tuple(range(d, 2 * d - 1))
-        )
+        par = tuple(0 if k == axis else None for k in range(d))
+        diag_c = diag_c + 2.0 * halve(cmap[plus], par)
 
-    # coarse off-diagonals: sum of the 2^(d-1) fine couplings crossing
-    # the coarse face (boundary children: local index 1 for +dir, 0 for
-    # -dir along `axis`)
     coefs_c = []
     for axis in range(d):
         for sgn in (+1, -1):
             off = tuple(sgn if k == axis else 0 for k in range(d))
-            sel = jnp.take(
-                kcoefs[off], 1 if sgn > 0 else 0, axis=d + axis
+            par = tuple(
+                (1 if sgn > 0 else 0) if k == axis else None
+                for k in range(d)
             )
-            coefs_c.append(
-                (off, sel.sum(axis=tuple(range(d, 2 * d - 1))))
-            )
+            coefs_c.append((off, halve(cmap[off], par)))
     return diag_c, coefs_c
 
 
@@ -116,34 +147,89 @@ def build_hierarchy(
     return levels
 
 
-def _restrict(r, coarse_shape):
-    """P^T r: 2^d-child sum onto the (padded-even) coarse grid.
+_HALF_MATS: dict = {}
 
-    Implemented as one free reshape (row-major (X,Y,Z) ->
-    (X/2,2,Y/2,2,Z/2,2)) + one fused reduction.  The per-parity strided
-    (::2) views this replaces compile to 2^d gather ops on TPU — at the
-    top level of a 128^3 hierarchy they alone cost several ms per
-    V-cycle (and the V-cycle runs once per PCG iteration)."""
+
+def _half_mat(fine: int):
+    """(fine, ceil(fine/2)) 0/1 aggregation matrix: column j sums fine
+    rows {2j, 2j+1}.  Cached as numpy; materialised as an XLA constant
+    at trace time."""
+    m = _HALF_MATS.get(fine)
+    if m is None:
+        import numpy as np
+
+        a = np.zeros((fine, (fine + 1) // 2), np.float32)
+        a[np.arange(fine), np.arange(fine) // 2] = 1.0
+        _HALF_MATS[fine] = m = a
+    return jnp.asarray(m)
+
+
+def _hmm(q, spec, fine):
+    """Halving/doubling matmul at HIGHEST precision: with a 0/1 operand
+    and <=2 nonzeros per contraction the fp32 product is EXACT — default
+    (bf16-input) MXU precision would round the residual itself."""
+    import jax
+
+    return jnp.einsum(
+        spec, q, _half_mat(fine), precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def _restrict(r, coarse_shape):
+    """P^T r: 2^d-child sum onto the coarse grid.
+
+    TPU layout note: the two MINOR axes (sublane/lane) are halved via MXU
+    matmuls against 0/1 aggregation matrices; only leading (major) axes
+    use the free-reshape pair sum.  The all-axes reshape-(…,2)-sum form
+    splits the lane dimension, which XLA materialises as relayout ops —
+    the round-3 trace showed L0 restrict+prolong at 1.14 ms of the
+    1.59 ms MG-PCG iteration at 128^3 (reshape.1830/broadcast_in_dim.380
+    at ~0.3 ms each, ~170x off bandwidth)."""
     d = r.ndim
-    r = _pad_even(r)
-    shp = []
-    for s_ in r.shape:
-        shp += [s_ // 2, 2]
-    return r.reshape(shp).sum(axis=tuple(range(1, 2 * d, 2)))
+    assert all(
+        c == (s + 1) // 2 for s, c in zip(r.shape, coarse_shape)
+    ), (r.shape, coarse_shape)
+    # leading axes: pad-even + free-major reshape pair sum
+    lead = r.shape[:-2]
+    if lead:
+        pads = [(0, s % 2) for s in lead] + [(0, 0), (0, 0)]
+        if any(p[1] for p in pads):
+            r = jnp.pad(r, pads)
+        shp = []
+        for s_ in r.shape[: d - 2]:
+            shp += [s_ // 2, 2]
+        shp += list(r.shape[-2:])
+        r = r.reshape(shp).sum(axis=tuple(range(1, 2 * (d - 2), 2)))
+    # minor two axes: MXU
+    y, z = r.shape[-2:]
+    r = _hmm(r, "...yz,zv->...yv", z)
+    r = _hmm(r, "...yv,yu->...uv", y)
+    return r
 
 
 def _prolong(e, fine_shape):
-    """P e: inject the parent value into all children (one broadcast +
-    free reshape instead of d successive jnp.repeat relayouts)."""
+    """P e: inject the parent value into all children.  Minor two axes
+    via MXU matmuls (transposed aggregation), leading axes via a free
+    broadcast+reshape (see `_restrict` for why)."""
     d = e.ndim
-    shp = []
-    for s_ in e.shape:
-        shp += [s_, 2]
-    out = jnp.broadcast_to(
-        e.reshape(tuple(x for s_ in e.shape for x in (s_, 1))),
-        tuple(shp),
-    ).reshape(tuple(2 * s_ for s_ in e.shape))
-    return out[tuple(slice(0, s_) for s_ in fine_shape)]
+    fy, fz = fine_shape[-2:]
+    out = _hmm(e, "...uv,zv->...uz", fz)
+    out = _hmm(out, "...uz,yu->...yz", fy)
+    lead = fine_shape[:-2]
+    if lead:
+        shp = []
+        view = []
+        for s_ in out.shape[: d - 2]:
+            shp += [s_, 2]
+            view += [s_, 1]
+        shp += list(out.shape[-2:])
+        view += list(out.shape[-2:])
+        out = jnp.broadcast_to(out.reshape(view), shp).reshape(
+            tuple(2 * s_ for s_ in out.shape[: d - 2])
+            + tuple(out.shape[-2:])
+        )
+        out = out[tuple(slice(0, s_) for s_ in lead) + (Ellipsis,)]
+    return out
 
 
 def _smooth(level: _Level, x, b, iters: int, omega: float):
@@ -169,8 +255,28 @@ def make_mg_preconditioner(
     ``matvec0``: optional fused replacement for the level-0 stencil apply
     (e.g. the blocked Pallas matvec already built for the CG loop) — the
     level-0 smoother/residual is the V-cycle's only bandwidth-significant
-    work, so it gets the same kernel the solver itself uses."""
+    work, so it gets the same kernel the solver itself uses.
+
+    On TPU every tail level (k >= 1) runs its smoothing chains as single
+    fused Pallas kernels (ops/pallas_mg.py): the unfused cycle was ~700
+    small latency-bound XLA ops per application, which is why MG lost to
+    Jacobi end-to-end at 128^3 despite an 8x iteration cut (round-2
+    DESIGN.md §9)."""
     levels = build_hierarchy(diag, coefs, min_dim=min_dim)
+
+    from python_fluid_simulation_tpu.ops import pallas_mg
+
+    fused = {}
+    for k in range(1, len(levels)):
+        if not pallas_mg.level_kernels_available(levels[k].diag.shape):
+            continue
+        fused[k] = pallas_mg.make_level_kernels(
+            levels[k].diag,
+            levels[k].coefs,
+            omega=omega,
+            n_smooth=n_smooth,
+            coarse_iters=coarse_iters,
+        )
 
     def lmatvec(k, p):
         if k == 0 and matvec0 is not None:
@@ -191,14 +297,21 @@ def make_mg_preconditioner(
 
     def vcycle(k: int, b):
         if k == len(levels) - 1:
+            if k in fused:
+                return fused[k].coarse_solve(b)
             return lsmooth(
                 k, jnp.zeros_like(b), b, coarse_iters, x_is_zero=True
             )
-        x = lsmooth(k, jnp.zeros_like(b), b, n_smooth, x_is_zero=True)
-        r = b - lmatvec(k, x)
+        if k in fused:
+            x, r = fused[k].presmooth_resid(b)
+        else:
+            x = lsmooth(k, jnp.zeros_like(b), b, n_smooth, x_is_zero=True)
+            r = b - lmatvec(k, x)
         rc = _restrict(r, levels[k + 1].diag.shape)
         ec = vcycle(k + 1, rc)
         x = x + _prolong(ec, b.shape)
+        if k in fused:
+            return fused[k].postsmooth(x, b)
         return lsmooth(k, x, b, n_smooth)
 
     active = levels[0].diag > 0
@@ -236,13 +349,24 @@ def _bshift(a, off, fill):
 
 
 def _brestrict(r):
-    """Child-sum over the trailing d dims (leading dim = batch)."""
+    """Child-sum over the trailing d dims (leading dim = batch).  Same
+    minor-axes-via-MXU layout trick as `_restrict`."""
     d = r.ndim - 1
-    r = _pad_even_trailing(r)
-    shp = [r.shape[0]]
-    for s_ in r.shape[1:]:
-        shp += [s_ // 2, 2]
-    return r.reshape(shp).sum(axis=tuple(range(2, 2 * d + 1, 2)))
+    # middle axes (batch-major, before the minor two): free pair sum
+    mid = r.shape[1:-2]
+    if mid:
+        pads = [(0, 0)] + [(0, s % 2) for s in mid] + [(0, 0), (0, 0)]
+        if any(p[1] for p in pads):
+            r = jnp.pad(r, pads)
+        shp = [r.shape[0]]
+        for s_ in r.shape[1:-2]:
+            shp += [s_ // 2, 2]
+        shp += list(r.shape[-2:])
+        r = r.reshape(shp).sum(axis=tuple(range(2, 2 * len(mid) + 1, 2)))
+    y, z = r.shape[-2:]
+    r = _hmm(r, "...yz,zv->...yv", z)
+    r = _hmm(r, "...yv,yu->...uv", y)
+    return r
 
 
 def _pad_even_trailing(a):
@@ -253,15 +377,31 @@ def _pad_even_trailing(a):
 
 
 def _bprolong(e, fine_shape):
-    shp = [e.shape[0]]
-    view = [e.shape[0]]
-    for s_ in e.shape[1:]:
-        shp += [s_, 2]
-        view += [s_, 1]
-    out = jnp.broadcast_to(e.reshape(view), shp).reshape(
-        (e.shape[0],) + tuple(2 * s_ for s_ in e.shape[1:])
-    )
-    return out[(slice(None),) + tuple(slice(0, s_) for s_ in fine_shape)]
+    """Parent injection over the trailing d dims (leading dim = batch).
+    Minor two axes via MXU (see `_prolong`)."""
+    fy, fz = fine_shape[-2:]
+    out = _hmm(e, "...uv,zv->...uz", fz)
+    out = _hmm(out, "...uz,yu->...yz", fy)
+    mid = fine_shape[:-2]
+    if mid:
+        shp = [out.shape[0]]
+        view = [out.shape[0]]
+        for s_ in out.shape[1:-2]:
+            shp += [s_, 2]
+            view += [s_, 1]
+        shp += list(out.shape[-2:])
+        view += list(out.shape[-2:])
+        out = jnp.broadcast_to(out.reshape(view), shp).reshape(
+            (out.shape[0],)
+            + tuple(2 * s_ for s_ in out.shape[1:-2])
+            + tuple(out.shape[-2:])
+        )
+        out = out[
+            (slice(None),)
+            + tuple(slice(0, s_) for s_ in mid)
+            + (Ellipsis,)
+        ]
+    return out
 
 
 def make_batched_mg_preconditioner(
@@ -324,6 +464,20 @@ def make_batched_mg_preconditioner(
             )
         blevels.append(_Level(diag, tuple(coefs), safe))
 
+    from python_fluid_simulation_tpu.ops import pallas_mg
+
+    fused = {}
+    for k in range(1, n_lev):
+        if not pallas_mg.level_kernels_available(blevels[k].diag.shape):
+            continue
+        fused[k] = pallas_mg.make_level_kernels(
+            blevels[k].diag,
+            blevels[k].coefs,
+            omega=omega,
+            n_smooth=n_smooth,
+            coarse_iters=coarse_iters,
+        )
+
     def bmatvec(level, p):
         out = level.diag * p
         for off, c in level.coefs:
@@ -339,15 +493,22 @@ def make_batched_mg_preconditioner(
     def vcycle(k, rhs):
         level = blevels[k]
         if k == n_lev - 1:
+            if k in fused:
+                return fused[k].coarse_solve(rhs)
             return bsmooth(level, jnp.zeros_like(rhs), rhs, coarse_iters)
-        x = bsmooth(level, jnp.zeros_like(rhs), rhs, n_smooth)
-        r = rhs - bmatvec(level, x)
+        if k in fused:
+            x, r = fused[k].presmooth_resid(rhs)
+        else:
+            x = bsmooth(level, jnp.zeros_like(rhs), rhs, n_smooth)
+            r = rhs - bmatvec(level, x)
         rc = _brestrict(r)[
             (slice(None),)
             + tuple(slice(0, s_) for s_ in blevels[k + 1].diag.shape[1:])
         ]
         ec = vcycle(k + 1, rc)
         x = x + _bprolong(ec, rhs.shape[1:])
+        if k in fused:
+            return fused[k].postsmooth(x, rhs)
         return bsmooth(level, x, rhs, n_smooth)
 
     active = blevels[0].diag > 0

@@ -227,3 +227,66 @@ def test_blocked_solve_matches_generic():
         np.asarray(x_blk), np.asarray(x_ref), rtol=2e-3, atol=2e-4
     )
     assert abs(int(st_blk.iters) - int(st_ref.iters)) <= 2
+
+
+def test_fused_mg_level_kernels_match_xla_vcycle():
+    """make_mg_preconditioner with the fused Pallas tail-level smoothers
+    (interpret mode) == the pure-XLA V-cycle, unbatched and batched."""
+    from python_fluid_simulation_tpu.ops import pallas_mg
+    from python_fluid_simulation_tpu.solvers import multigrid as mgmod
+    from python_fluid_simulation_tpu.solvers.pressure import (
+        pressure_coefficients,
+    )
+
+    n = (24, 20, 22)
+    rng = np.random.default_rng(0)
+    lphi = jnp.asarray(rng.standard_normal(n).astype(np.float32)) - 0.5
+    w = [
+        jnp.asarray(
+            rng.uniform(
+                0.2,
+                1.0,
+                tuple(k + (1 if i == a else 0) for i, k in enumerate(n)),
+            ).astype(np.float32)
+        )
+        for a in range(3)
+    ]
+    diag, coefs, _ = pressure_coefficients(w, lphi)
+    r = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    z_ref = mgmod.make_mg_preconditioner(diag, coefs)(r)
+
+    orig_avail = pallas_mg.level_kernels_available
+    orig_make = pallas_mg.make_level_kernels
+    pallas_mg.level_kernels_available = lambda s: True
+    pallas_mg.make_level_kernels = (
+        lambda d, c, **kw: orig_make(d, c, **{**kw, "interpret": True})
+    )
+    try:
+        z_fused = mgmod.make_mg_preconditioner(diag, coefs)(r)
+        np.testing.assert_allclose(
+            np.asarray(z_fused), np.asarray(z_ref), rtol=1e-5, atol=1e-6
+        )
+
+        # batched: three jittered copies of the same stencil family
+        systems = []
+        for s in range(3):
+            lp = jnp.asarray(
+                rng.standard_normal(n).astype(np.float32)
+            ) - 0.5
+            d2, c2, _ = pressure_coefficients(w, lp)
+            systems.append((d2, c2))
+        rs = [
+            jnp.asarray(rng.standard_normal(n).astype(np.float32))
+            for _ in range(3)
+        ]
+        pallas_mg.level_kernels_available = orig_avail
+        zb_ref = mgmod.make_batched_mg_preconditioner(systems)(rs)
+        pallas_mg.level_kernels_available = lambda s: True
+        zb_fused = mgmod.make_batched_mg_preconditioner(systems)(rs)
+        for a, b in zip(zb_fused, zb_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
+    finally:
+        pallas_mg.level_kernels_available = orig_avail
+        pallas_mg.make_level_kernels = orig_make
