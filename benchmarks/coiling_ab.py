@@ -49,10 +49,14 @@ def main():
                 cfg0.solver, viscosity_precond=mode
             ),
         )
-        s_w, _ = simulate(state, cfg, args.steps)
+        from python_fluid_simulation_tpu.engine.step import _geom_jit
+
+        geom = None if cfg.moving_solid else _geom_jit(state.solid, None)
+        jax.block_until_ready(geom)
+        s_w, _ = simulate(state, cfg, args.steps, geom=geom)
         jax.block_until_ready(s_w)
         t0 = time.perf_counter()
-        s_f, metrics = simulate(state, cfg, args.steps)
+        s_f, metrics = simulate(state, cfg, args.steps, geom=geom)
         jax.block_until_ready(s_f)
         ms = (time.perf_counter() - t0) / args.steps * 1000
         iters = {

@@ -160,11 +160,17 @@ def main():
             gv[a], _ = extrapolate(gv[a], gm[a] > 0, 2)
         return list(apply_boundary_condition(gv, gm, sphi_c, sv_c, g.dx))
 
+    # SortInfo.ext must stay a static int tuple inside the trace (it
+    # feeds slice bounds); jit would re-trace pytree int leaves, so
+    # close over the deterministic extended shape instead
+    _ext_static = tuple(int(n) + 2 for n in g.res)
+
     @jax.jit
     def ph_g2p(si, gv):
         # engine path: gather-free segment broadcast over P2G's sort
         from python_fluid_simulation_tpu.ops.transfers import g2p_all
 
+        si = si._replace(ext=_ext_static)
         return g2p_all(
             gv, g.res, _FACE_BIAS, g.bound_min, g.cell_size, si
         )

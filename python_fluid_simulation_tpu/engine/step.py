@@ -484,18 +484,13 @@ def make_step(
     return step
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
 def _simulate_jit(
-    state, unet_params, cfg, num_steps, unet_apply, mesh, bucketed
+    state, unet_params, geom, cfg, num_steps, unet_apply, mesh, bucketed
 ):
     # normalise the carried hysteresis flag (construction sites default
     # it to plain 0; the scan carry needs a concrete i32)
     state = state._replace(visc_mg=jnp.asarray(state.visc_mg, jnp.int32))
-    # static solid geometry hoisted out of the scan body: computed once
-    # per simulate() call, invariant across steps.  With moving bodies
-    # (cfg.moving_solid) the step re-evaluates the solid level set and
-    # rebuilds the geometry itself each iteration.
-    geom = None if cfg.moving_solid else build_geom_cache(state.solid, mesh)
 
     def body(s, _):
         return step_3d(
@@ -506,9 +501,14 @@ def _simulate_jit(
     return jax.lax.scan(body, state, None, length=num_steps)
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def _geom_jit(solid, mesh):
+    return build_geom_cache(solid, mesh)
+
+
 def simulate(
     state: SimState, cfg: SimConfig, num_steps: int, unet_apply=None,
-    unet_params=None, mesh=None, bucketed: bool = False,
+    unet_params=None, mesh=None, bucketed: bool = False, geom=None,
 ):
     """Roll `num_steps` under lax.scan; returns (final_state, metrics).
 
@@ -516,10 +516,23 @@ def simulate(
     mesh) static, so repeated calls hit the jit cache (a per-call inner
     closure would recompile the whole scan every time).
 
+    Static solid geometry is built in its OWN small jit and threaded
+    into the scan program as an ARGUMENT: inlining build_geom_cache
+    into the scan program re-evaluated the SDF/fraction tables on every
+    simulate() call inside the hot program — ~167 ms at 128^3, i.e.
+    +17 ms/step apparent on a 10-step benchmark block (round-3 xplane
+    attribution: ops/indexing.py:120 parity-view slices).  Callers that
+    roll many blocks (run.py) pass ``geom`` once to amortise it to zero.
+    With moving bodies (cfg.moving_solid) the step re-evaluates the
+    solid level set and rebuilds the geometry itself each iteration.
+
     ``bucketed`` (with a mesh) runs the spatially-bucketed particle
     layout: the state's particle arrays must come from
     `parallel.particles.bucket_particles`.
     """
+    if geom is None and not cfg.moving_solid:
+        geom = _geom_jit(state.solid, mesh)
     return _simulate_jit(
-        state, unet_params, cfg, num_steps, unet_apply, mesh, bucketed
+        state, unet_params, geom, cfg, num_steps, unet_apply, mesh,
+        bucketed,
     )

@@ -44,6 +44,23 @@ def _segment_marks(sorted_ids):
     return first, last
 
 
+def _seg_scan_fwd(vals, first, op):
+    """Inclusive forward segmented scan via the single-pass Pallas kernel
+    (ops/pallas_segscan.py) when opted in (PFS_PALLAS_SEGSCAN=1), else
+    None (callers keep the XLA masked-doubling paths).  Measured
+    (segscan_micro.py): the kernel is VPU-bound and LOSES to the fused
+    XLA doubling except at ~125 channels — see the module docstring —
+    so the XLA formulation is the default."""
+    from python_fluid_simulation_tpu.ops.pallas_segscan import (
+        seg_scan_available,
+        seg_scan_sorted,
+    )
+
+    if not seg_scan_available(vals):
+        return None
+    return seg_scan_sorted(vals, ~first, op)
+
+
 def _place_at_last(values, sorted_ids, last, num_segments, fill):
     """Write each segment's value (valid at its LAST element) into a dense
     (num_segments, ...) array via a UNIQUE-index scatter: non-last
@@ -91,13 +108,15 @@ def segment_sum_sorted(
             [vals, jnp.zeros((k, 81 - n_real), vals.dtype)], axis=-1
         )
     first, last = _segment_marks(sorted_ids)
-    c = jnp.cumsum(vals, axis=0)
-    start_idx = jax.lax.cummax(
-        jnp.where(first, jnp.arange(k, dtype=jnp.int32), 0)
-    )
-    base = jnp.take(c, jnp.maximum(start_idx - 1, 0), axis=0)
-    base = jnp.where(_bcast(start_idx > 0, base), base, 0.0)
-    totals = c - base
+    totals = _seg_scan_fwd(vals, first, "add") if vals.ndim == 2 else None
+    if totals is None:
+        c = jnp.cumsum(vals, axis=0)
+        start_idx = jax.lax.cummax(
+            jnp.where(first, jnp.arange(k, dtype=jnp.int32), 0)
+        )
+        base = jnp.take(c, jnp.maximum(start_idx - 1, 0), axis=0)
+        base = jnp.where(_bcast(start_idx > 0, base), base, 0.0)
+        totals = c - base
     out = _place_at_last(totals, sorted_ids, last, num_segments, 0.0)
     if n_real is not None:
         out = out[:, :n_real]
@@ -121,6 +140,15 @@ def segment_min_sorted(
     K=8 (exact for <=256/cell) costs 8 memory passes instead of the
     log2(N)≈19 a global associative_scan needs.
     """
+    first, last = _segment_marks(sorted_ids)
+    if vals.ndim == 2:
+        scanned = _seg_scan_fwd(vals, first, "min")
+        if scanned is not None:
+            # forward min-scan: the LAST row of each segment holds the
+            # min of the WHOLE segment (no 2^K window cap)
+            return _place_at_last(
+                scanned, sorted_ids, last, num_segments, fill
+            )
     K = max_segment_log2
     ids = sorted_ids
     for k in range(K):
@@ -129,7 +157,6 @@ def segment_min_sorted(
         nids = shift(ids, (s,), -1)
         same = _bcast(nids == ids, vals)
         vals = jnp.where(same, jnp.minimum(vals, nvals), vals)
-    first, _ = _segment_marks(sorted_ids)
     return _place_at_first(vals, sorted_ids, first, num_segments, fill)
 
 
@@ -175,8 +202,13 @@ def segment_broadcast_sorted(
     )
     vals = jnp.zeros((k,) + table.shape[1:], table.dtype)
     vals = vals.at[pos].set(table, mode="drop", unique_indices=True)
-    # segmented inclusive prefix sum by doubling: within a segment only
-    # the first row is non-zero, so the scan result IS the broadcast
+    # segmented inclusive prefix sum: within a segment only the first
+    # row is non-zero, so the scan result IS the broadcast (bit-exact
+    # in any order).  Single-pass Pallas scan when available.
+    if vals.ndim == 2:
+        scanned = _seg_scan_fwd(vals, first, "add")
+        if scanned is not None:
+            return scanned
     for p in range(max_segment_log2):
         s = 1 << p
         nvals = shift(vals, (-s,) + (0,) * (vals.ndim - 1), 0.0)

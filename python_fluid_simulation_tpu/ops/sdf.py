@@ -333,7 +333,9 @@ def _project_box(points, t_b, R_b, params_b, flip_b):
         axis=-1,
     )
     idx = jnp.argmin(six, axis=-1)
-    dist = jnp.take_along_axis(six, idx[:, None], axis=-1)[:, 0]
+    # six[argmin] == min: jnp.min avoids a per-row take_along_axis
+    # gather (row-bound on TPU — 12.6 ms/step at 128^3, round-3 profile)
+    dist = jnp.min(six, axis=-1)
     axis_i = idx // 2
     sign = jnp.where(idx % 2 == 0, 1.0, -1.0)
     delta = sign[:, None] * dist[:, None] * (

@@ -153,7 +153,8 @@ def _project_box_2d(points, t_b, R_b, params_b, flip_b):
     d_lo = p + half[None, :]
     four = jnp.stack([d_hi[:, 0], d_lo[:, 0], d_hi[:, 1], d_lo[:, 1]], axis=-1)
     idx = jnp.argmin(four, axis=-1)
-    dist = jnp.take_along_axis(four, idx[:, None], axis=-1)[:, 0]
+    # four[argmin] == min: avoids a row-bound take_along_axis gather
+    dist = jnp.min(four, axis=-1)
     axis_i = idx // 2
     sign = jnp.where(idx % 2 == 0, 1.0, -1.0)
     delta = sign[:, None] * dist[:, None] * (

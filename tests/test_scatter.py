@@ -211,3 +211,77 @@ def test_pallas_fold_matches_xla_fold():
                 np.asarray(got), np.asarray(want), rtol=2e-6, atol=2e-6,
                 err_msg=str((out_shape, axis_shifts, combine, ext_off)),
             )
+
+
+def test_pallas_segscan_matches_oracle():
+    """seg_scan_sorted (interpret mode) == a NumPy per-segment inclusive
+    scan, for add and min, across block boundaries, with a segment
+    longer than the kernel block (exercises the cross-block carry) and a
+    non-block-multiple row count (exercises the padding tail)."""
+    from python_fluid_simulation_tpu.ops import pallas_segscan as ps
+    from python_fluid_simulation_tpu.ops.pallas_segscan import (
+        seg_scan_sorted,
+    )
+
+    rng = np.random.default_rng(7)
+    k = 2 * ps._BLOCK + 513
+    # sorted ids with wildly uneven segments: one run longer than _BLOCK
+    seg_lens = [1, 3, ps._BLOCK + 700, 2, 1]
+    while sum(seg_lens) < k:
+        seg_lens.append(int(rng.integers(1, 9)))
+    seg_lens[-1] -= sum(seg_lens) - k
+    ids = np.repeat(np.arange(len(seg_lens)), seg_lens)[:k]
+    same = np.concatenate([[False], ids[1:] == ids[:-1]])
+
+    for c in (3, 54, 127):
+        vals = rng.standard_normal((k, c)).astype(np.float32)
+        for op, np_op in (("add", np.add), ("min", np.minimum)):
+            got = np.asarray(
+                seg_scan_sorted(
+                    jnp.asarray(vals), jnp.asarray(same), op,
+                    interpret=True,
+                )
+            )
+            want = vals.copy()
+            for i in range(1, k):
+                if same[i]:
+                    want[i] = np_op(want[i], want[i - 1])
+            # add: the doubling tree associates fp32 sums differently
+            # from the sequential oracle fold — rounding-level only
+            np.testing.assert_allclose(
+                got, want, rtol=1e-4, atol=2e-3, err_msg=f"{op} c={c}"
+            )
+
+
+def test_segment_ops_pallas_paths_match_xla():
+    """The three scatter-engine segment ops give identical results with
+    the Pallas scan substituted (interpret mode) — covers the
+    place-at-last rewiring of segment_min."""
+    import unittest.mock as mock
+
+    from python_fluid_simulation_tpu.ops import scatter as sc
+    from python_fluid_simulation_tpu.ops.pallas_segscan import (
+        seg_scan_sorted,
+    )
+
+    rng = np.random.default_rng(3)
+    k, m, c = 5000, 300, 12
+    ids = jnp.asarray(np.sort(rng.integers(0, m, size=k)).astype(np.int32))
+    vals = jnp.asarray(rng.standard_normal((k, c)).astype(np.float32))
+    table = jnp.asarray(rng.standard_normal((m, c)).astype(np.float32))
+
+    def fake_scan(v, first, op):
+        return seg_scan_sorted(v, ~first, op, interpret=True)
+
+    with mock.patch.object(sc, "_seg_scan_fwd", fake_scan):
+        got_sum = sc.segment_sum_sorted(vals, ids, m)
+        got_min = sc.segment_min_sorted(vals, ids, m, 9.0)
+        got_bc = sc.segment_broadcast_sorted(table, ids)
+    want_sum = sc.segment_sum_sorted(vals, ids, m)
+    want_min = sc.segment_min_sorted(vals, ids, m, 9.0)
+    want_bc = sc.segment_broadcast_sorted(table, ids)
+    np.testing.assert_allclose(
+        np.asarray(got_sum), np.asarray(want_sum), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_array_equal(np.asarray(got_min), np.asarray(want_min))
+    np.testing.assert_array_equal(np.asarray(got_bc), np.asarray(want_bc))
