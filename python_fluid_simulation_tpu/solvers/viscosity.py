@@ -488,6 +488,39 @@ def viscosity_solve_3d(
             use_pallas=use_pallas, fields=fields,
         )
 
+        # fused blocked Jacobi-PCG (ops/pallas_cg.py): the whole CG state
+        # stays in the padded blocked layout, each iteration is 5 Pallas
+        # calls with in-kernel dot accumulation.  TPU-only (CPU keeps the
+        # XLA path so golden/oracle baselines are bit-stable).
+        fused_solve = None
+        if d == 3 and jacobi_precond and use_pallas != "off":
+            from python_fluid_simulation_tpu.ops.pallas_cg import (
+                fused_coupled_cg_available,
+                make_fused_coupled_cg_geom,
+            )
+
+            if fused_coupled_cg_available([v.shape for v in v_faces]):
+                fused_solve = make_fused_coupled_cg_geom(
+                    sphi_c, vol_c, s_mu, [v.shape for v in v_faces],
+                    fields[2], strict_fluid=strict_fluid,
+                    tol=tol, rel_tol=rel_tol, max_iter=max_iter,
+                )
+
+        def _jacobi_cg(bb, xx0):
+            if fused_solve is not None:
+                xs, iters, res, res0, thr = fused_solve(bb, xx0)
+                return xs, SolveStats(
+                    iters=iters,
+                    residual=res,
+                    initial_residual=res0,
+                    converged=res < thr,
+                )
+            return cg(
+                matvec, bb, xx0,
+                tol=tol, rel_tol=rel_tol, max_iter=max_iter,
+                precond=jac,
+            )
+
         def jac(rs):
             return tuple(r / dd for r, dd in zip(rs, diag))
 
@@ -524,15 +557,13 @@ def viscosity_solve_3d(
                 )
 
             def solve_jac(_):
-                return cg(
-                    matvec, b, x0,
-                    tol=tol, rel_tol=rel_tol, max_iter=max_iter,
-                    precond=jac,
-                )
+                return _jacobi_cg(b, x0)
 
             x, stats = jax.lax.cond(
                 auto_use_mg, solve_mg, solve_jac, 0
             )
+        elif precond_kind != "mg" and jacobi_precond:
+            x, stats = _jacobi_cg(b, x0)
         else:
             precond = None
             if precond_kind == "mg":

@@ -290,3 +290,192 @@ def test_fused_mg_level_kernels_match_xla_vcycle():
     finally:
         pallas_mg.level_kernels_available = orig_avail
         pallas_mg.make_level_kernels = orig_make
+
+
+def test_fused_coupled_cg_matches_generic():
+    """The fused blocked coupled Jacobi-PCG (ops/pallas_cg.py) solves the
+    viscosity system to the same solution as the generic XLA cg() with
+    the same tolerance, with iteration counts within +-2."""
+    from python_fluid_simulation_tpu.ops.pallas_cg import (
+        make_fused_coupled_cg,
+    )
+    from python_fluid_simulation_tpu.solvers.cg import cg
+    from python_fluid_simulation_tpu.solvers.viscosity import (
+        viscosity_rhs_3d,
+        viscosity_term_fields,
+    )
+
+    n = (10, 8, 12)
+    dual = tuple(2 * k + 1 for k in n)
+    rng = np.random.default_rng(12)
+    # mostly-fluid interior (positive sphi) with a solid floor, so the
+    # operator has real structure but stays well-conditioned
+    ys = np.broadcast_to(
+        np.arange(dual[1], dtype=np.float32)[None, :, None], dual
+    )
+    sphi = jnp.asarray(ys - 2.5)
+    vol = jnp.asarray(rng.uniform(0.2, 1.0, dual).astype(np.float32))
+    shapes = [
+        tuple(k + (1 if i == a else 0) for i, k in enumerate(n))
+        for a in range(3)
+    ]
+    sphi_c = split_parity(sphi, 3)
+    vol_c = split_parity(vol, 3)
+    diags, per_axis, pdiags = viscosity_term_fields(
+        0.4, sphi_c, vol_c, shapes, False
+    )
+    v = tuple(
+        jnp.asarray(rng.standard_normal(s).astype(np.float32))
+        for s in shapes
+    )
+    b = viscosity_rhs_3d(v, 0.4, sphi_c, vol_c, False)
+    x0 = v
+
+    from python_fluid_simulation_tpu.ops.indexing import sample
+
+    def matvec(vs):
+        out = []
+        for a in range(3):
+            acc = diags[a] * vs[a]
+            for field, voff, coef in per_axis[a]:
+                acc = acc + coef * sample(vs[field], voff, vs[a].shape, 0.0)
+            out.append(acc)
+        return tuple(out)
+
+    x_ref, st = cg(
+        matvec, b, x0, tol=1e-5, rel_tol=1e-6, max_iter=400,
+        precond=lambda rs: tuple(r / d for r, d in zip(rs, pdiags)),
+    )
+
+    solve = make_fused_coupled_cg(
+        diags, per_axis, shapes, pdiags,
+        tol=1e-5, rel_tol=1e-6, max_iter=400, interpret=True,
+    )
+    x_f, iters, res, res0, thr = solve(b, x0)
+
+    assert bool(res < thr)
+    assert abs(int(iters) - int(st.iters)) <= 2, (int(iters), int(st.iters))
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(x_f[a]), np.asarray(x_ref[a]), rtol=2e-3, atol=2e-4
+        )
+
+
+def test_geom_cg_matvec_bitexact_vs_materialised():
+    """One matvec of the geometry-recompute kernel (pallas_cg v2)
+    matches the XLA matvec over the materialised coefficient fields to
+    ~1 ulp: the same f32 products in the same association order; the
+    only freedom left is XLA fusing mul+add chains into FMAs inside
+    the compiled kernel (the eager reference rounds each op)."""
+    from python_fluid_simulation_tpu.ops.indexing import sample
+    from python_fluid_simulation_tpu.ops.pallas_cg import (
+        make_fused_coupled_cg_geom,
+    )
+    from python_fluid_simulation_tpu.solvers.viscosity import (
+        viscosity_term_fields,
+    )
+
+    n = (9, 11, 10)
+    dual = tuple(2 * k + 1 for k in n)
+    rng = np.random.default_rng(21)
+    sphi = jnp.asarray(rng.standard_normal(dual).astype(np.float32))
+    vol = jnp.asarray(rng.random(dual).astype(np.float32))
+    shapes = [
+        tuple(k + (1 if i == a else 0) for i, k in enumerate(n))
+        for a in range(3)
+    ]
+    sphi_c = split_parity(sphi, 3)
+    vol_c = split_parity(vol, 3)
+    # s_mu as a traced-style f32 scalar, as the engine passes it — the
+    # Python-float path folds sign*factor*s_mu in double and would
+    # differ in the last ulp
+    s_mu = jnp.float32(0.37)
+    diags, per_axis, pdiags = viscosity_term_fields(
+        s_mu, sphi_c, vol_c, shapes, False
+    )
+    v = tuple(
+        jnp.asarray(rng.standard_normal(s).astype(np.float32))
+        for s in shapes
+    )
+
+    solve = make_fused_coupled_cg_geom(
+        sphi_c, vol_c, s_mu, shapes, pdiags,
+        tol=0.0, rel_tol=0.0, max_iter=1, interpret=True,
+    )
+    lay = solve.layout
+    q_pad, _ = solve.matvec_dq([lay.pad3(x) for x in v])
+    q_geom = [
+        qq[: s[0], : s[1], : s[2]] for qq, s in zip(q_pad, shapes)
+    ]
+
+    for a in range(3):
+        acc = diags[a] * v[a]
+        for field, voff, coef in per_axis[a]:
+            acc = acc + coef * sample(v[field], voff, v[a].shape, 0.0)
+        np.testing.assert_allclose(
+            np.asarray(q_geom[a]), np.asarray(acc),
+            rtol=1e-5, atol=1e-6,
+        )
+
+
+def test_geom_cg_solves_like_generic():
+    """Full geometry-kernel CG vs the generic XLA cg() on a physical
+    configuration (fluid interior over a solid floor)."""
+    from python_fluid_simulation_tpu.ops.indexing import sample
+    from python_fluid_simulation_tpu.ops.pallas_cg import (
+        make_fused_coupled_cg_geom,
+    )
+    from python_fluid_simulation_tpu.solvers.cg import cg
+    from python_fluid_simulation_tpu.solvers.viscosity import (
+        viscosity_rhs_3d,
+        viscosity_term_fields,
+    )
+
+    n = (10, 8, 12)
+    dual = tuple(2 * k + 1 for k in n)
+    rng = np.random.default_rng(31)
+    ys = np.broadcast_to(
+        np.arange(dual[1], dtype=np.float32)[None, :, None], dual
+    )
+    sphi = jnp.asarray(ys - 2.5)
+    vol = jnp.asarray(rng.uniform(0.2, 1.0, dual).astype(np.float32))
+    shapes = [
+        tuple(k + (1 if i == a else 0) for i, k in enumerate(n))
+        for a in range(3)
+    ]
+    sphi_c = split_parity(sphi, 3)
+    vol_c = split_parity(vol, 3)
+    s_mu = 0.4
+    diags, per_axis, pdiags = viscosity_term_fields(
+        s_mu, sphi_c, vol_c, shapes, False
+    )
+    v = tuple(
+        jnp.asarray(rng.standard_normal(s).astype(np.float32))
+        for s in shapes
+    )
+    b = viscosity_rhs_3d(v, s_mu, sphi_c, vol_c, False)
+
+    def matvec(vs):
+        out = []
+        for a in range(3):
+            acc = diags[a] * vs[a]
+            for field, voff, coef in per_axis[a]:
+                acc = acc + coef * sample(vs[field], voff, vs[a].shape, 0.0)
+            out.append(acc)
+        return tuple(out)
+
+    x_ref, st = cg(
+        matvec, b, v, tol=1e-5, rel_tol=1e-6, max_iter=400,
+        precond=lambda rs: tuple(r / d for r, d in zip(rs, pdiags)),
+    )
+    solve = make_fused_coupled_cg_geom(
+        sphi_c, vol_c, s_mu, shapes, pdiags,
+        tol=1e-5, rel_tol=1e-6, max_iter=400, interpret=True,
+    )
+    x_f, iters, res, res0, thr = solve(b, v)
+    assert bool(res < thr)
+    assert abs(int(iters) - int(st.iters)) <= 2, (int(iters), int(st.iters))
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(x_f[a]), np.asarray(x_ref[a]), rtol=2e-3, atol=2e-4
+        )
