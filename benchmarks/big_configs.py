@@ -27,8 +27,12 @@ def bench_scene(cfg, state, steps, warmup=2):
 
     geom = None if cfg.moving_solid else _geom_jit(state.solid, None)
     jax.block_until_ready(geom)
-    s_w, _ = simulate(state, cfg, steps, geom=geom)
+    s_w, m_w = simulate(state, cfg, steps, geom=geom)
     jax.block_until_ready(s_w)
+    # free the warmup outputs BEFORE the timed run: at 8M cells the
+    # returned state (3 face fields + 2 dual lattices ~1 GB) kept live
+    # alongside the second run's working set tips a 16 GB chip over
+    del s_w, m_w
     t0 = time.perf_counter()
     s_f, metrics = simulate(state, cfg, steps, geom=geom)
     jax.block_until_ready(s_f)

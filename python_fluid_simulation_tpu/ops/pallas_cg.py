@@ -279,7 +279,7 @@ def make_fused_coupled_cg(
     (x_fields, iters, residual, initial_residual, threshold).
     """
     F = len(field_shapes)
-    assert F == 3
+    assert 1 <= F <= 3
     max_coefs = max(len(t) for t in per_axis_terms)
     lay = _Layout(field_shapes, n_live_matvec=3 * F + 1 + max_coefs + 5)
     if interpret is None:
@@ -377,6 +377,54 @@ def make_fused_coupled_cg(
     )
 
 
+def fused_poisson_cg_available(shape, interpret: bool = False) -> bool:
+    if interpret:
+        return True
+    return blocked_pallas_available(shape)
+
+
+def make_fused_poisson_cg(
+    diag,
+    coefs,
+    pdiag,
+    *,
+    tol: float,
+    rel_tol: float,
+    max_iter: int,
+    interpret: bool | None = None,
+):
+    """Fused blocked Jacobi-PCG for a single-field cell-centred system
+    (the ghost-fluid Poisson solves of pressure & density,
+    reference PressureCGSolver3D.py / DensityCGSolver3D.py CG loops).
+
+    Same 3-pass iteration as the coupled solver (matvec+d·q, x/r update
+    + dots, direction update) specialised to F=1: the big-grid Jacobi
+    regime otherwise pays a pad → blocked-matvec → slice round trip plus
+    ~9 separate XLA vector ops per iteration (solvers/cg.py::cg).
+
+    ``coefs`` is the [(offset, coefficient-field)] term table from
+    pressure_coefficients; offsets must be within ±1 per axis (the
+    7-point stencil is).  Returns solve(b, x0=None) ->
+    (x, iters, residual, initial_residual, threshold).
+    """
+    shape = tuple(diag.shape)
+    per_axis = [tuple((0, off, c) for off, c in coefs)]
+    inner = make_fused_coupled_cg(
+        [diag], per_axis, [shape], [pdiag],
+        tol=tol, rel_tol=rel_tol, max_iter=max_iter,
+        interpret=interpret,
+    )
+
+    def solve(b, x0=None):
+        if x0 is None:
+            x0 = jnp.zeros_like(b)
+        xs, iters, res, res0, thr = inner((b,), (x0,))
+        return xs[0], iters, res, res0, thr
+
+    solve.inner = inner
+    return solve
+
+
 # ---------------------------------------------------------------------------
 # v2: coefficients recomputed in-kernel from parity-class geometry
 # ---------------------------------------------------------------------------
@@ -446,30 +494,18 @@ def _geom_plan():
     return inputs, per_axis
 
 
-def make_fused_coupled_cg_geom(
+def _make_geom_matvec(
     sphi_c: dict,
     vol_c: dict,
     s_mu,
     face_shapes,
-    pdiags,
-    *,
-    strict_fluid: bool = False,
-    tol: float,
-    rel_tol: float,
-    max_iter: int,
-    interpret: bool | None = None,
+    strict_fluid: bool,
+    interpret: bool,
 ):
-    """Fused coupled Jacobi-PCG with in-kernel coefficient recomputation.
-
-    The 42 stencil coefficients and 3 diagonals are rebuilt inside the
-    matvec pass from the 10 parity-class geometry fields (bit-exact
-    same f32 products/order as solvers.viscosity.viscosity_term_fields)
-    — per iteration the kernel streams 19 geometry + 9 velocity slab
-    operands instead of 45 coefficient + 27 velocity fetches.
-
-    Returns solve(b_fields, x0_fields) ->
-    (x_fields, iters, residual, initial_residual, threshold).
-    """
+    """(lay, matvec_dq) for the all-axes geometry kernel: coefficients
+    rebuilt in-register from the 10 parity-class geometry fields (bit
+    exact same f32 products/order as viscosity_term_fields).
+    matvec_dq consumes/produces PADDED blocked fields."""
     F = len(face_shapes)
     assert F == 3
     inputs, per_axis = _geom_plan()
@@ -477,12 +513,8 @@ def make_fused_coupled_cg_geom(
     lay = _Layout(
         face_shapes, n_live_matvec=len(inputs) + 3 * F + F + 10
     )
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
     bx = lay.bx
     nblocks = lay.nblocks
-
-    pd_ps = [lay.pad3(p - 1.0) + 1.0 for p in pdiags]
 
     geom_arrays = []
     geom_specs = []
@@ -617,7 +649,74 @@ def make_fused_coupled_cg_geom(
         *qs, dq = call(*geom_arrays, *field_ins, _scal(s_mu))
         return tuple(qs), dq[0, 0]
 
+    return lay, matvec_dq
+
+
+def make_fused_coupled_cg_geom(
+    sphi_c: dict,
+    vol_c: dict,
+    s_mu,
+    face_shapes,
+    pdiags,
+    *,
+    strict_fluid: bool = False,
+    tol: float,
+    rel_tol: float,
+    max_iter: int,
+    interpret: bool | None = None,
+):
+    """Fused coupled Jacobi-PCG with in-kernel coefficient recomputation.
+
+    The 42 stencil coefficients and 3 diagonals are rebuilt inside the
+    matvec pass from the 10 parity-class geometry fields (bit-exact
+    same f32 products/order as solvers.viscosity.viscosity_term_fields)
+    — per iteration the kernel streams 19 geometry + 9 velocity slab
+    operands instead of 45 coefficient + 27 velocity fetches.
+
+    Returns solve(b_fields, x0_fields) ->
+    (x_fields, iters, residual, initial_residual, threshold).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    lay, matvec_dq = _make_geom_matvec(
+        sphi_c, vol_c, s_mu, face_shapes, strict_fluid, interpret
+    )
+    pd_ps = [lay.pad3(p - 1.0) + 1.0 for p in pdiags]
     b_call, c_call = _make_bc_passes(lay, interpret)
     return _make_driver(
         lay, matvec_dq, pd_ps, b_call, c_call, tol, rel_tol, max_iter
     )
+
+
+def make_blocked_coupled_matvec_geom(
+    sphi_c: dict,
+    vol_c: dict,
+    s_mu,
+    face_shapes,
+    *,
+    strict_fluid: bool = False,
+    interpret: bool | None = None,
+):
+    """Standalone coupled viscosity matvec on UNPADDED face arrays with
+    in-kernel coefficient recomputation (the fused CG's pass A behind a
+    pad -> kernel -> slice round trip).
+
+    This is what makes the big-grid MG-preconditioned solve fit in HBM:
+    the outer CG's operator needs NO materialised term-coefficient
+    fields (~1.3 GB at 8M cells), so only the 21 same-axis sub-operator
+    fields the MG block preconditioner coarsens stay live."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    lay, matvec_dq = _make_geom_matvec(
+        sphi_c, vol_c, s_mu, face_shapes, strict_fluid, interpret
+    )
+
+    def matvec(vs):
+        v_ps = [lay.pad3(v) for v in vs]
+        qs, _ = matvec_dq(v_ps)
+        return tuple(
+            q[: s[0], : s[1], : s[2]]
+            for q, s in zip(qs, lay.field_shapes)
+        )
+
+    return matvec

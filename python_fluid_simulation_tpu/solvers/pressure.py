@@ -375,6 +375,37 @@ def solve_cell_poisson(
                 converged=res < thresh,
             )
 
+    if (
+        d == 3
+        and jacobi_precond
+        and precond_kind == "jacobi"
+        and use_pallas != "off"
+    ):
+        # big-grid Jacobi regime (full-VMEM residency unavailable): the
+        # fused blocked PCG keeps the CG state in the padded blocked
+        # layout for the whole solve — no pad/slice round trip and no
+        # separate XLA vector ops per iteration.  dt_scale rides along
+        # as a uniform system scaling ((sA)x = sb, same solution; the
+        # XLA fallback below solves the scaled system too, so residual
+        # thresholds are comparable).
+        from python_fluid_simulation_tpu.ops.pallas_cg import (
+            fused_poisson_cg_available,
+            make_fused_poisson_cg,
+        )
+
+        if fused_poisson_cg_available(lphi.shape):
+            solve = make_fused_poisson_cg(
+                s * diag,
+                [(off, s * c) for off, c in coefs],
+                s * precond_diag,
+                tol=tol, rel_tol=rel_tol, max_iter=max_iter,
+            )
+            x, iters, res, res0, thr = solve(s * b)
+            return x, SolveStats(
+                iters=iters, residual=res, initial_residual=res0,
+                converged=res < thr,
+            )
+
     blocked_mv = None
     if d == 3 and use_pallas != "off":
         from python_fluid_simulation_tpu.ops.pallas_stencils import (

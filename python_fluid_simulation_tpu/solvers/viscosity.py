@@ -480,31 +480,100 @@ def viscosity_solve_3d(
             converged=res < thresh,
         )
     else:
-        fields = viscosity_term_fields(
-            s_mu, sphi_c, vol_c, [v.shape for v in v_faces], strict_fluid
-        )
-        matvec, diag = prepare_viscosity_matvec(
-            s_mu, sphi_c, vol_c, [v.shape for v in v_faces], strict_fluid,
-            use_pallas=use_pallas, fields=fields,
-        )
+        face_shapes = [v.shape for v in v_faces]
 
         # fused blocked Jacobi-PCG (ops/pallas_cg.py): the whole CG state
-        # stays in the padded blocked layout, each iteration is 5 Pallas
-        # calls with in-kernel dot accumulation.  TPU-only (CPU keeps the
-        # XLA path so golden/oracle baselines are bit-stable).
+        # stays in the padded blocked layout, each iteration is 3 Pallas
+        # calls with in-kernel coefficient recompute + dot accumulation.
+        # TPU-only (CPU keeps the XLA path so golden/oracle baselines are
+        # bit-stable).  When it engages, the 42 term-coefficient fields
+        # are NOT materialised on the Jacobi path (the kernel rebuilds
+        # them from the raw parity classes) — at 8M-cell grids the
+        # coefficient set alone is ~1.3 GB and materialising it next to
+        # the fused path's geometry copies OOMed a 16 GB chip under the
+        # auto-mode lax.cond (both branches' captures are live).
         fused_solve = None
-        if d == 3 and jacobi_precond and use_pallas != "off":
+        geom_mv = None
+        if d == 3 and use_pallas != "off":
             from python_fluid_simulation_tpu.ops.pallas_cg import (
                 fused_coupled_cg_available,
+                make_blocked_coupled_matvec_geom,
                 make_fused_coupled_cg_geom,
             )
 
-            if fused_coupled_cg_available([v.shape for v in v_faces]):
-                fused_solve = make_fused_coupled_cg_geom(
-                    sphi_c, vol_c, s_mu, [v.shape for v in v_faces],
-                    fields[2], strict_fluid=strict_fluid,
-                    tol=tol, rel_tol=rel_tol, max_iter=max_iter,
+            if fused_coupled_cg_available(face_shapes):
+                geom_mv = make_blocked_coupled_matvec_geom(
+                    sphi_c, vol_c, s_mu, face_shapes,
+                    strict_fluid=strict_fluid,
                 )
+                if jacobi_precond and precond_kind != "mg":
+                    pdiags = viscosity_diag_3d(
+                        s_mu, sphi_c, vol_c, face_shapes, strict_fluid
+                    )
+                    fused_solve = make_fused_coupled_cg_geom(
+                        sphi_c, vol_c, s_mu, face_shapes,
+                        pdiags, strict_fluid=strict_fluid,
+                        tol=tol, rel_tol=rel_tol, max_iter=max_iter,
+                    )
+
+        if fused_solve is not None:
+            fields = None
+            diag = pdiags
+
+            def matvec(vs):
+                # only applied O(1) times per solve (warm-start rescale);
+                # samples the pre-split classes directly
+                return viscosity_matvec_3d(
+                    vs, s_mu, sphi_c, vol_c, strict_fluid
+                )
+
+        elif geom_mv is not None and precond_kind == "mg":
+            # fixed-MG route on TPU: the outer operator recomputes its
+            # coefficients in-kernel, so no term fields stay live
+            fields = None
+            diag = None
+            matvec = geom_mv
+        else:
+            fields = viscosity_term_fields(
+                s_mu, sphi_c, vol_c, face_shapes, strict_fluid
+            )
+            matvec, diag = prepare_viscosity_matvec(
+                s_mu, sphi_c, vol_c, face_shapes, strict_fluid,
+                use_pallas=use_pallas, fields=fields,
+            )
+
+        def _term_fields():
+            return fields if fields is not None else (
+                viscosity_term_fields(
+                    s_mu, sphi_c, vol_c, face_shapes, strict_fluid
+                )
+            )
+
+        def _mg_solve(bb, xx0):
+            # MG-PCG sized for big grids: the outer matvec is the
+            # geometry-recompute kernel (no materialised coefficients)
+            # and the block preconditioner coarsens only the same-axis
+            # 7-point sub-operators, so of the 45 term fields built
+            # here only the 21 same-axis ones survive DCE (~670 MB at
+            # 8M cells instead of ~2.2 GB for fields + hierarchy) —
+            # the difference between the viscosity MG fitting a 16 GB
+            # chip at coiling-504 and faulting on it.
+            flds = _term_fields()
+            if geom_mv is not None:
+                mv = geom_mv
+            elif fields is not None:
+                mv = matvec
+            else:
+                mv, _ = prepare_viscosity_matvec(
+                    s_mu, sphi_c, vol_c, face_shapes, strict_fluid,
+                    use_pallas=use_pallas, fields=flds,
+                )
+            mg = make_viscosity_mg_preconditioner(flds[0], flds[1])
+            return cg(
+                mv, bb, xx0,
+                tol=tol, rel_tol=rel_tol, max_iter=max_iter,
+                precond=mg,
+            )
 
         def _jacobi_cg(bb, xx0):
             if fused_solve is not None:
@@ -547,14 +616,10 @@ def viscosity_solve_3d(
             # (measured 5x step blowup on coiling-256).  Inside the
             # branch it runs only when MG is actually selected.
             def solve_mg(_):
-                mg = make_viscosity_mg_preconditioner(
-                    fields[0], fields[1]
-                )
-                return cg(
-                    matvec, b, x0,
-                    tol=tol, rel_tol=rel_tol, max_iter=max_iter,
-                    precond=mg,
-                )
+                # term fields are (re)built INSIDE the branch so the
+                # Jacobi regime never holds them live (see the HBM note
+                # above)
+                return _mg_solve(b, x0)
 
             def solve_jac(_):
                 return _jacobi_cg(b, x0)
@@ -564,14 +629,9 @@ def viscosity_solve_3d(
             )
         elif precond_kind != "mg" and jacobi_precond:
             x, stats = _jacobi_cg(b, x0)
+        elif precond_kind == "mg":
+            x, stats = _mg_solve(b, x0)
         else:
-            precond = None
-            if precond_kind == "mg":
-                precond = make_viscosity_mg_preconditioner(
-                    fields[0], fields[1]
-                )
-            elif jacobi_precond:
-                precond = jac
             x, stats = cg(
                 matvec,
                 b,
@@ -579,7 +639,7 @@ def viscosity_solve_3d(
                 tol=tol,
                 rel_tol=rel_tol,
                 max_iter=max_iter,
-                precond=precond,
+                precond=jac if jacobi_precond else None,
             )
 
     out = []

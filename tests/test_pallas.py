@@ -479,3 +479,92 @@ def test_geom_cg_solves_like_generic():
         np.testing.assert_allclose(
             np.asarray(x_f[a]), np.asarray(x_ref[a]), rtol=2e-3, atol=2e-4
         )
+
+
+def test_fused_poisson_cg_matches_generic():
+    """The fused blocked single-field Jacobi-PCG (the big-grid Poisson
+    path of solve_cell_poisson) solves a ghost-fluid pressure system to
+    the same solution as the generic XLA cg(), iterations within +-2."""
+    from python_fluid_simulation_tpu.ops.indexing import shift
+    from python_fluid_simulation_tpu.ops.pallas_cg import (
+        make_fused_poisson_cg,
+    )
+    from python_fluid_simulation_tpu.solvers.cg import cg
+    from python_fluid_simulation_tpu.solvers.pressure import (
+        pressure_coefficients,
+        pressure_rhs_3d,
+    )
+
+    sphi, _, rng = _geom(9)
+    # mixed fluid/air interior so ghost-fluid fractions take both branches
+    lphi = jnp.asarray(
+        np.where(
+            np.random.default_rng(10).random(N) < 0.6, -1.0, 1.0
+        ).astype(np.float32)
+    )
+    w = compute_solid_frac_3d(sphi)
+    shapes = [
+        tuple(n + (1 if i == a else 0) for i, n in enumerate(N))
+        for a in range(3)
+    ]
+    v = tuple(
+        jnp.asarray(rng.standard_normal(s).astype(np.float32))
+        for s in shapes
+    )
+    sv = jnp.zeros(DUAL + (3,), jnp.float32)
+    b = pressure_rhs_3d(v, sv, lphi, w, (0.1, 0.1, 0.1))
+    diag, coefs, pdiag = pressure_coefficients(w, lphi)
+
+    def matvec(p):
+        out = diag * p
+        for off, c in coefs:
+            out = out + c * shift(p, off, 0.0)
+        return out
+
+    x_ref, st = cg(
+        matvec, b, jnp.zeros_like(b), tol=1e-5, rel_tol=1e-5,
+        max_iter=500, precond=lambda r: r / pdiag,
+    )
+    solve = make_fused_poisson_cg(
+        diag, coefs, pdiag,
+        tol=1e-5, rel_tol=1e-5, max_iter=500, interpret=True,
+    )
+    x_f, iters, res, res0, thr = solve(b)
+    assert bool(res < thr)
+    assert abs(int(iters) - int(st.iters)) <= 2, (int(iters), int(st.iters))
+    np.testing.assert_allclose(
+        np.asarray(x_f), np.asarray(x_ref), rtol=2e-3, atol=2e-4
+    )
+
+
+def test_blocked_coupled_matvec_geom_matches_direct():
+    """The standalone geometry-recompute coupled matvec (the big-grid
+    MG route's outer operator) matches viscosity_matvec_3d."""
+    from python_fluid_simulation_tpu.ops.pallas_cg import (
+        make_blocked_coupled_matvec_geom,
+    )
+    from python_fluid_simulation_tpu.solvers.viscosity import (
+        viscosity_matvec_3d,
+    )
+
+    sphi, _, rng = _geom(21)
+    vol = jnp.asarray(rng.uniform(0.1, 1.0, DUAL).astype(np.float32))
+    shapes = [
+        tuple(n + (1 if i == a else 0) for i, n in enumerate(N))
+        for a in range(3)
+    ]
+    sphi_c = split_parity(sphi, 3)
+    vol_c = split_parity(vol, 3)
+    v = tuple(
+        jnp.asarray(rng.standard_normal(s).astype(np.float32))
+        for s in shapes
+    )
+    ref = viscosity_matvec_3d(v, 0.7, sphi_c, vol_c, False)
+    mv = make_blocked_coupled_matvec_geom(
+        sphi_c, vol_c, 0.7, shapes, interpret=True
+    )
+    out = mv(v)
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out[a]), np.asarray(ref[a]), rtol=1e-5, atol=1e-5
+        )
