@@ -65,12 +65,15 @@ from python_fluid_simulation_tpu.ops.pallas_stencils import (
 
 
 def fused_coupled_cg_available(field_shapes, interpret: bool = False) -> bool:
+    """Gate for the geometry-recompute coupled kernels (v2): live rows =
+    geometry slab operands + 9 velocity slabs + 3 outputs + scratch."""
     if len(field_shapes) != 3:
         return False
     common = tuple(max(s[i] for s in field_shapes) for i in range(3))
     if interpret:
         return True
-    return blocked_pallas_available(common)
+    n_ops = len(_geom_plan()[0]) + 9 + 3 + 4
+    return blocked_pallas_available(common, n_ops=n_ops)
 
 
 def _smem_scalar_spec():
@@ -378,9 +381,10 @@ def make_fused_coupled_cg(
 
 
 def fused_poisson_cg_available(shape, interpret: bool = False) -> bool:
+    # F=1: pass A holds 7 stencil fields + 3 field slabs + out + dots
     if interpret:
         return True
-    return blocked_pallas_available(shape)
+    return blocked_pallas_available(shape, n_ops=16)
 
 
 def make_fused_poisson_cg(
@@ -430,7 +434,7 @@ def make_fused_poisson_cg(
 # ---------------------------------------------------------------------------
 
 
-def _geom_plan():
+def _geom_plan(same_axis_only: bool = False):
     """Static metadata for the all-axes geometry kernel.
 
     Returns (inputs, per_axis) where
@@ -443,6 +447,12 @@ def _geom_plan():
                 in _diag_axis's loop order
         'terms': [(field, voff, sphi_cls, ck3, vol_cls, vk3, sf)] in
                  _terms_for_axis order
+
+    ``same_axis_only`` keeps only the 6 same-field couplings per axis
+    (field == a): the block-diagonal sub-operator the viscosity MG
+    preconditioner smooths/coarsens (make_viscosity_mg_preconditioner's
+    filter) — the kernel then IS that block operator, so the big-grid
+    MG route needs no materialised fine-level stencil fields at all.
     """
     from python_fluid_simulation_tpu.ops.indexing import face_parity
     from python_fluid_simulation_tpu.solvers.viscosity import (
@@ -476,6 +486,8 @@ def _geom_plan():
         for cond, field, voff, voloff, factor, sign in _terms_for_axis(
             a, 3
         ):
+            if same_axis_only and field != a:
+                continue
             ccls, ck = dual("sphi", pa, cond)
             vcls, vk = dual("vol", pa, voloff)
             terms.append(
@@ -501,6 +513,7 @@ def _make_geom_matvec(
     face_shapes,
     strict_fluid: bool,
     interpret: bool,
+    same_axis_only: bool = False,
 ):
     """(lay, matvec_dq) for the all-axes geometry kernel: coefficients
     rebuilt in-register from the 10 parity-class geometry fields (bit
@@ -508,7 +521,7 @@ def _make_geom_matvec(
     matvec_dq consumes/produces PADDED blocked fields."""
     F = len(face_shapes)
     assert F == 3
-    inputs, per_axis = _geom_plan()
+    inputs, per_axis = _geom_plan(same_axis_only)
     # live set: geometry slabs + F fields x 3 + outs + temps
     lay = _Layout(
         face_shapes, n_live_matvec=len(inputs) + 3 * F + F + 10
@@ -696,6 +709,7 @@ def make_blocked_coupled_matvec_geom(
     *,
     strict_fluid: bool = False,
     interpret: bool | None = None,
+    same_axis_only: bool = False,
 ):
     """Standalone coupled viscosity matvec on UNPADDED face arrays with
     in-kernel coefficient recomputation (the fused CG's pass A behind a
@@ -703,12 +717,15 @@ def make_blocked_coupled_matvec_geom(
 
     This is what makes the big-grid MG-preconditioned solve fit in HBM:
     the outer CG's operator needs NO materialised term-coefficient
-    fields (~1.3 GB at 8M cells), so only the 21 same-axis sub-operator
-    fields the MG block preconditioner coarsens stay live."""
+    fields (~1.3 GB at 8M cells).  ``same_axis_only=True`` yields the
+    block-diagonal sub-operator instead (6 same-field couplings per
+    axis) — the fine-level smoother/residual operator of the lean
+    viscosity MG route, again with zero materialised stencils."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     lay, matvec_dq = _make_geom_matvec(
-        sphi_c, vol_c, s_mu, face_shapes, strict_fluid, interpret
+        sphi_c, vol_c, s_mu, face_shapes, strict_fluid, interpret,
+        same_axis_only=same_axis_only,
     )
 
     def matvec(vs):

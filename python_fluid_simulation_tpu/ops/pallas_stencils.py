@@ -259,16 +259,28 @@ def _pick_bx(X, Yp, Zp, n_live, budget=_VMEM_BUDGET):
     return bx
 
 
-def blocked_pallas_available(shape) -> bool:
+def blocked_pallas_available(shape, n_ops: int = 60) -> bool:
     """The blocked kernels stream x-slabs through VMEM — usable at any
-    grid size on a TPU backend (the full-VMEM kernels gate on residency)."""
+    grid size on a TPU backend (the full-VMEM kernels gate on residency).
+
+    ``n_ops``: live (1, Yp, Zp) rows the kernel holds (operands + outputs
+    + temps).  The default 60 models the worst case — the materialised
+    coupled viscosity kernel (45 coefficient + 9 velocity slabs) — which
+    wrongly gated the ~14-row Poisson and ~35-row geometry-recompute
+    kernels off tall grids (512-class y at 128-class z pays 258 KB/row;
+    coiling_504's Jacobi regime ran un-fused because of it)."""
     if not _HAS_PALLAS:
         return False
     if jax.default_backend() != "tpu":
         return False
-    # one (1, Yp, Zp) row of every operand must fit; true up to ~512^2 yz
-    return _pad_sublanes(shape[1]) * _pad_lanes(shape[2]) * 4 * 2 * 60 < (
-        2 * _VMEM_BUDGET
+    # one (1, Yp, Zp) row of every operand must fit (x2: double buffer),
+    # against Mosaic's 16 MiB scoped-vmem limit.  Calibrated empirically:
+    # the 35-row geometry kernel at (127,512,128) rows (258 KB) needs
+    # 20.1 MiB and is rejected by Mosaic; the 60-row materialised kernel
+    # at (64,256,128) rows (131 KB, 15.7 MiB modeled) compiles and runs
+    # (round-2 coiling_256).
+    return _pad_sublanes(shape[1]) * _pad_lanes(shape[2]) * 4 * 2 * n_ops < (
+        int(16.5 * 1024 * 1024)
     )
 
 

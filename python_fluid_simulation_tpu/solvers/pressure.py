@@ -236,7 +236,9 @@ def prepare_pressure_matvec(
         ):
             return make_stencil_matvec(diag, coefs), precond_diag
         # too big for the VMEM-resident kernel: stream x-slabs instead
-        if use_pallas == "blocked" or blocked_pallas_available(lphi.shape):
+        if use_pallas == "blocked" or blocked_pallas_available(
+            lphi.shape, n_ops=14
+        ):
             return make_blocked_stencil_matvec(diag, coefs), precond_diag
 
     def matvec(p):
@@ -413,7 +415,9 @@ def solve_cell_poisson(
             make_blocked_stencil_matvec,
         )
 
-        if use_pallas == "blocked" or blocked_pallas_available(lphi.shape):
+        if use_pallas == "blocked" or blocked_pallas_available(
+            lphi.shape, n_ops=14
+        ):
             blocked_mv = make_blocked_stencil_matvec(diag, coefs)
 
     if blocked_mv is not None:

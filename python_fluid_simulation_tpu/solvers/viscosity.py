@@ -281,6 +281,203 @@ def make_viscosity_mg_preconditioner(diags, per_axis):
     return make_batched_mg_preconditioner(systems)
 
 
+def _perm_inv(perm):
+    inv = [0] * len(perm)
+    for j, p in enumerate(perm):
+        inv[p] = j
+    return tuple(inv)
+
+
+def _permute_shapes(perm, face_shapes):
+    """Face shapes of the axis-relabelled problem: new field j is old
+    field perm[j] with its array axes transposed by perm."""
+    return [
+        tuple(face_shapes[perm[j]][ax] for ax in perm)
+        for j in range(len(perm))
+    ]
+
+
+def _permute_cls(cls_dict, perm):
+    """Parity-class dict under axis relabelling: keys permute with the
+    axes, arrays transpose."""
+    return {
+        tuple(c[ax] for ax in perm): jnp.transpose(a, perm)
+        for c, a in cls_dict.items()
+    }
+
+
+def _permute_fields(perm, vs):
+    return tuple(
+        jnp.transpose(vs[perm[j]], perm) for j in range(len(vs))
+    )
+
+
+def _unpermute_fields(perm, vs):
+    inv = _perm_inv(perm)
+    return tuple(
+        jnp.transpose(vs[inv[i]], inv) for i in range(len(vs))
+    )
+
+
+# The coupled viscosity operator is equivariant under coordinate
+# relabelling: _terms_for_axis/_diag_axis are generated from the (face
+# axis, transverse axes) roles only, so solving the transposed problem
+# with fields reordered by the same permutation and transposing back is
+# exact (same per-element products).  This is how the blocked Pallas
+# kernels reach TALL grids: they stream along axis 0 with one
+# (1, Yp, Zp) row per operand resident in VMEM, so a 126x504x126 grid
+# pays 258 KB rows x ~35 operands = over Mosaic's 16 MiB scoped limit —
+# but permuted to (504, 126, 127)-class layout the row is 65.5 KB and
+# everything fits.  Transposes happen once per solve (not per
+# iteration): the CG loop runs entirely in the permuted layout.
+_PERM_CANDIDATES = ((1, 0, 2), (2, 1, 0), (1, 2, 0), (2, 0, 1), (0, 2, 1))
+
+
+def _neighbour_interior(shape, voff):
+    """interior_mask of the site at f + voff, as a mask over f."""
+    m = None
+    for j, s in enumerate(shape):
+        idx = jnp.arange(s) + voff[j]
+        mj = (idx >= 1) & (idx < s - 1)
+        bshape = [1] * len(shape)
+        bshape[j] = s
+        mj = mj.reshape(bshape)
+        m = mj if m is None else (m & mj)
+    return m
+
+
+def viscosity_axis_block_stencil(
+    a, s_mu, sphi, vol, shape, strict_fluid: bool = False,
+    symmetrize: bool = False,
+):
+    """Same-axis 7-point sub-operator of one velocity component: the
+    diagonal block the MG preconditioner smooths and Galerkin-coarsens.
+
+    Bit-identical to viscosity_term_fields filtered to ``field == a``
+    (all six such couplings have |voff| == 1), but built per axis so the
+    lean MG route's transient peak is 7 fields of ONE face array instead
+    of the full 45-field set (round-3: the 8M-cell coiling_504 MG flip
+    exceeded HBM with the all-axes build).
+
+    ``symmetrize=True`` additionally masks each coupling with the
+    NEIGHBOUR's interior test, making the stencil exactly
+    Pi A Pi (Pi = diag(active)) — the operator the lean MG cycle
+    effectively smooths (its vectors are active-supported, so columns
+    into non-interior fluid sites read zeros anyway); coarsening the
+    symmetrized form keeps every Galerkin level symmetric, which plain
+    PCG requires of its preconditioner.
+    Returns (diag, [(voff, coef)] * 6, pdiag, active)."""
+    d = len(shape)
+    _, sph, _ = _axis_fields(a, sphi, vol, shape)
+    active = interior_mask(shape) & _is_fluid(sph((0,) * d), strict_fluid)
+    diag_raw = _diag_axis(a, s_mu, sphi, vol, shape)
+    diag = jnp.where(active, diag_raw, 0.0)
+    coefs = []
+    for cond_off, field, voff, vol_off, factor, sign in _terms_for_axis(a, d):
+        if field != a:
+            continue
+        fluid_n = _is_fluid(
+            dual_sample(sphi, face_parity(a, d), cond_off, shape, -1.0),
+            strict_fluid,
+        )
+        mask = active & fluid_n
+        if symmetrize:
+            mask = mask & _neighbour_interior(shape, voff)
+        vcoef = dual_sample(vol, face_parity(a, d), vol_off, shape, 0.0)
+        coefs.append(
+            (voff, jnp.where(mask, sign * factor * s_mu * vcoef, 0.0))
+        )
+    pdiag = jnp.where(active & (diag_raw > 0), diag_raw, 1.0)
+    return diag, coefs, pdiag, active
+
+
+def make_viscosity_mg_preconditioner_lean(
+    s_mu,
+    sphi,
+    vol,
+    face_shapes,
+    strict_fluid,
+    fine_matvec,
+    *,
+    omega: float = 0.8,
+):
+    """Two-grid-entry MG preconditioner with NO persistent fine-level
+    stencil fields — the big-grid (8M-cell) viscosity route.
+
+    make_viscosity_mg_preconditioner keeps 21 fine coefficient fields
+    live across the whole CG loop (~680 MB at 8M cells) plus a stacked
+    padded copy of them as batched level 0 (~680 MB more); at coiling_504
+    that flip exceeded a 16 GB chip.  Here the fine level is handled by
+    ``fine_matvec`` — the same-axis geometry-recompute Pallas kernel
+    (ops/pallas_cg.make_blocked_coupled_matvec_geom(same_axis_only=True)),
+    whose operands (the parity-class geometry) are already live for the
+    outer solve — and the batched Galerkin hierarchy starts at level 1
+    (1/8 the cells).  The level-1 stencils are built from per-axis
+    transient fine stencils (7 fields of one face array at a time).
+
+    Apply (a symmetric two-grid cycle; 1 damped-Jacobi pre/post smooth,
+    inner correction = the existing batched V-cycle on the Galerkin
+    level-1 operator — itself symmetric, so the composite stays a fixed
+    SPD operator valid inside plain PCG):
+
+      x1 = w r / pd                     (pre-smooth from zero guess)
+      r1 = r - A_blk x1                 (fine residual: 1 fine matvec)
+      e  = Vcycle_1(restrict(r1))
+      x2 = x1 + prolong(e)
+      x3 = x2 + w (r - A_blk x2) / pd   (post-smooth: 1 fine matvec)
+    """
+    from python_fluid_simulation_tpu.solvers.multigrid import (
+        _coarsen,
+        _prolong,
+        _restrict,
+        make_batched_mg_preconditioner,
+    )
+
+    d = len(face_shapes)
+    level1 = []
+    pdiags = []
+    actives = []
+    for a in range(d):
+        # symmetrize=True: coarsen Pi A Pi, the operator the cycle
+        # actually smooths (vectors below stay active-supported), so
+        # every Galerkin level is exactly symmetric
+        diag, coefs, pdiag, active = viscosity_axis_block_stencil(
+            a, s_mu, sphi, vol, face_shapes[a], strict_fluid,
+            symmetrize=True,
+        )
+        level1.append(_coarsen(diag, coefs))
+        pdiags.append(pdiag)
+        actives.append(active)
+    inner = make_batched_mg_preconditioner(level1)
+
+    def precond(rs):
+        x1 = tuple(omega * r / pd for r, pd in zip(rs, pdiags))
+        q1 = fine_matvec(x1)
+        r1 = tuple(r - q for r, q in zip(rs, q1))
+        rc = tuple(
+            _restrict(r, tuple((s + 1) // 2 for s in r.shape)) for r in r1
+        )
+        ec = inner(rc)
+        # mask the prolonged correction to active rows: keeps every
+        # vector active-supported, so the fine matvec acts as the exact
+        # symmetric Pi A Pi (couplings into non-interior fluid columns
+        # read zeros) and the composite cycle stays SPD
+        x2 = tuple(
+            x + jnp.where(act, _prolong(e, x.shape), 0.0)
+            for x, e, act in zip(x1, ec, actives)
+        )
+        q2 = fine_matvec(x2)
+        x3 = tuple(
+            x + omega * (r - q) / pd
+            for x, r, q, pd in zip(x2, rs, q2, pdiags)
+        )
+        return tuple(
+            jnp.where(act, x, r) for x, r, act in zip(x3, rs, actives)
+        )
+
+    return precond
+
+
 def prepare_viscosity_matvec(
     s_mu,
     sphi: jnp.ndarray,
@@ -494,6 +691,8 @@ def viscosity_solve_3d(
         # auto-mode lax.cond (both branches' captures are live).
         fused_solve = None
         geom_mv = None
+        perm = None
+        psphi_c = pvol_c = pshapes = None
         if d == 3 and use_pallas != "off":
             from python_fluid_simulation_tpu.ops.pallas_cg import (
                 fused_coupled_cg_available,
@@ -502,19 +701,62 @@ def viscosity_solve_3d(
             )
 
             if fused_coupled_cg_available(face_shapes):
-                geom_mv = make_blocked_coupled_matvec_geom(
-                    sphi_c, vol_c, s_mu, face_shapes,
+                perm = (0, 1, 2)
+                psphi_c, pvol_c, pshapes = sphi_c, vol_c, face_shapes
+            else:
+                # tall/wide grids whose (1, Yp, Zp) operand rows exceed
+                # Mosaic's scoped-VMEM limit: relabel axes so the stream
+                # axis is the long one (see _PERM_CANDIDATES note)
+                for cand in sorted(
+                    _PERM_CANDIDATES,
+                    key=lambda c: -face_shapes[0][c[0]],
+                ):
+                    cshapes = _permute_shapes(cand, face_shapes)
+                    if fused_coupled_cg_available(cshapes):
+                        perm = cand
+                        psphi_c = _permute_cls(sphi_c, cand)
+                        pvol_c = _permute_cls(vol_c, cand)
+                        pshapes = cshapes
+                        break
+
+            if perm is not None:
+                geom_mv_p = make_blocked_coupled_matvec_geom(
+                    psphi_c, pvol_c, s_mu, pshapes,
                     strict_fluid=strict_fluid,
                 )
+                if perm == (0, 1, 2):
+                    geom_mv = geom_mv_p
+                else:
+                    def geom_mv(vs, _p=perm, _mv=geom_mv_p):
+                        return _unpermute_fields(
+                            _p, _mv(_permute_fields(_p, vs))
+                        )
+
                 if jacobi_precond and precond_kind != "mg":
-                    pdiags = viscosity_diag_3d(
-                        s_mu, sphi_c, vol_c, face_shapes, strict_fluid
+                    pdiags_p = viscosity_diag_3d(
+                        s_mu, psphi_c, pvol_c, pshapes, strict_fluid
                     )
-                    fused_solve = make_fused_coupled_cg_geom(
-                        sphi_c, vol_c, s_mu, face_shapes,
-                        pdiags, strict_fluid=strict_fluid,
+                    fused_solve_p = make_fused_coupled_cg_geom(
+                        psphi_c, pvol_c, s_mu, pshapes,
+                        pdiags_p, strict_fluid=strict_fluid,
                         tol=tol, rel_tol=rel_tol, max_iter=max_iter,
                     )
+                    if perm == (0, 1, 2):
+                        fused_solve = fused_solve_p
+                        pdiags = pdiags_p
+                    else:
+                        def fused_solve(bb, xx0, _p=perm,
+                                        _s=fused_solve_p):
+                            xs, it, res, res0, thr = _s(
+                                _permute_fields(_p, bb),
+                                _permute_fields(_p, xx0),
+                            )
+                            return (
+                                _unpermute_fields(_p, xs),
+                                it, res, res0, thr,
+                            )
+
+                        pdiags = _unpermute_fields(perm, pdiags_p)
 
         if fused_solve is not None:
             fields = None
@@ -550,14 +792,55 @@ def viscosity_solve_3d(
             )
 
         def _mg_solve(bb, xx0):
-            # MG-PCG sized for big grids: the outer matvec is the
-            # geometry-recompute kernel (no materialised coefficients)
-            # and the block preconditioner coarsens only the same-axis
-            # 7-point sub-operators, so of the 45 term fields built
-            # here only the 21 same-axis ones survive DCE (~670 MB at
-            # 8M cells instead of ~2.2 GB for fields + hierarchy) —
-            # the difference between the viscosity MG fitting a 16 GB
-            # chip at coiling-504 and faulting on it.
+            # Big grids (>4M cells): the lean two-grid route — fine
+            # level handled by the same-axis geometry-recompute kernel
+            # (NO persistent stencil fields), batched Galerkin V-cycle
+            # from level 1 down.  The materialised route below keeps
+            # ~1.4 GB of fine stencils + stacked level-0 live across
+            # the CG loop, which exceeded HBM at coiling_504 (8M cells)
+            # when the auto-mode hysteresis flipped to MG.
+            import math
+
+            big = math.prod(face_shapes[0]) > 4_000_000
+            if perm is not None and big:
+                from python_fluid_simulation_tpu.ops.pallas_cg import (
+                    make_blocked_coupled_matvec_geom as _mk_geom,
+                )
+
+                blk_mv = _mk_geom(
+                    psphi_c, pvol_c, s_mu, pshapes,
+                    strict_fluid=strict_fluid, same_axis_only=True,
+                )
+                mg_lean = make_viscosity_mg_preconditioner_lean(
+                    s_mu, psphi_c, pvol_c, pshapes, strict_fluid,
+                    blk_mv,
+                )
+                if perm == (0, 1, 2):
+                    return cg(
+                        geom_mv, bb, xx0,
+                        tol=tol, rel_tol=rel_tol, max_iter=max_iter,
+                        precond=mg_lean,
+                    )
+                # permuted layout: transpose the CG state at the solve
+                # boundary only; every iteration runs in kernel layout
+                geom_mv_full = _mk_geom(
+                    psphi_c, pvol_c, s_mu, pshapes,
+                    strict_fluid=strict_fluid,
+                )
+                xp, stats = cg(
+                    geom_mv_full,
+                    _permute_fields(perm, bb),
+                    _permute_fields(perm, xx0),
+                    tol=tol, rel_tol=rel_tol, max_iter=max_iter,
+                    precond=mg_lean,
+                )
+                return _unpermute_fields(perm, xp), stats
+            # <=4M cells: MG-PCG with materialised same-axis stencils —
+            # the outer matvec is the geometry-recompute kernel (no
+            # materialised coefficients) and the block preconditioner
+            # coarsens only the same-axis 7-point sub-operators, so of
+            # the 45 term fields built here only the 21 same-axis ones
+            # survive DCE.
             flds = _term_fields()
             if geom_mv is not None:
                 mv = geom_mv

@@ -568,3 +568,182 @@ def test_blocked_coupled_matvec_geom_matches_direct():
         np.testing.assert_allclose(
             np.asarray(out[a]), np.asarray(ref[a]), rtol=1e-5, atol=1e-5
         )
+
+
+def test_same_axis_geom_matvec_matches_block_stencil():
+    """same_axis_only=True geometry kernel == the XLA apply of the
+    materialised same-axis 7-point sub-operator (the exact fields the
+    MG block preconditioner smooths/coarsens)."""
+    from python_fluid_simulation_tpu.ops.indexing import sample
+    from python_fluid_simulation_tpu.ops.pallas_cg import (
+        make_blocked_coupled_matvec_geom,
+    )
+    from python_fluid_simulation_tpu.solvers.viscosity import (
+        viscosity_axis_block_stencil,
+    )
+
+    sphi, _, rng = _geom(23)
+    vol = jnp.asarray(rng.uniform(0.1, 1.0, DUAL).astype(np.float32))
+    shapes = [
+        tuple(n + (1 if i == a else 0) for i, n in enumerate(N))
+        for a in range(3)
+    ]
+    sphi_c = split_parity(sphi, 3)
+    vol_c = split_parity(vol, 3)
+    v = tuple(
+        jnp.asarray(rng.standard_normal(s).astype(np.float32))
+        for s in shapes
+    )
+    mv = make_blocked_coupled_matvec_geom(
+        sphi_c, vol_c, 0.7, shapes, interpret=True, same_axis_only=True
+    )
+    out = mv(v)
+    for a in range(3):
+        diag, coefs, _, _ = viscosity_axis_block_stencil(
+            a, 0.7, sphi_c, vol_c, shapes[a]
+        )
+        ref = diag * v[a]
+        for voff, coef in coefs:
+            ref = ref + coef * sample(v[a], voff, shapes[a], 0.0)
+        np.testing.assert_allclose(
+            np.asarray(out[a]), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
+
+
+def _lean_mg_setup(seed=29, mu=0.7):
+    sphi, _, rng = _geom(seed)
+    vol = jnp.asarray(rng.uniform(0.1, 1.0, DUAL).astype(np.float32))
+    shapes = [
+        tuple(n + (1 if i == a else 0) for i, n in enumerate(N))
+        for a in range(3)
+    ]
+    sphi_c = split_parity(sphi, 3)
+    vol_c = split_parity(vol, 3)
+    from python_fluid_simulation_tpu.ops.pallas_cg import (
+        make_blocked_coupled_matvec_geom,
+    )
+    from python_fluid_simulation_tpu.solvers.viscosity import (
+        make_viscosity_mg_preconditioner_lean,
+        viscosity_matvec_3d,
+    )
+
+    blk = make_blocked_coupled_matvec_geom(
+        sphi_c, vol_c, mu, shapes, interpret=True, same_axis_only=True
+    )
+    precond = make_viscosity_mg_preconditioner_lean(
+        mu, sphi_c, vol_c, shapes, False, blk
+    )
+
+    def full_mv(vs):
+        return viscosity_matvec_3d(vs, mu, sphi_c, vol_c, False)
+
+    def actives():
+        from python_fluid_simulation_tpu.solvers.viscosity import (
+            viscosity_axis_block_stencil,
+        )
+
+        return [
+            viscosity_axis_block_stencil(a, mu, sphi_c, vol_c, shapes[a])[3]
+            for a in range(3)
+        ]
+
+    return rng, shapes, precond, full_mv, actives()
+
+
+def test_lean_viscosity_mg_preconditioner_is_symmetric():
+    """<M^-1 u, v> == <u, M^-1 v> on active-supported vectors: the lean
+    two-grid cycle must stay a fixed symmetric operator to sit inside
+    plain PCG."""
+    rng, shapes, precond, _, act = _lean_mg_setup()
+
+    def rand_masked():
+        return tuple(
+            jnp.where(
+                a, jnp.asarray(rng.standard_normal(s).astype(np.float32)),
+                0.0,
+            )
+            for s, a in zip(shapes, act)
+        )
+
+    u = rand_masked()
+    w = rand_masked()
+    mu_ = precond(u)
+    mw = precond(w)
+    lhs = sum(float(jnp.vdot(x, y)) for x, y in zip(mu_, w))
+    rhs = sum(float(jnp.vdot(x, y)) for x, y in zip(u, mw))
+    scale = sum(float(jnp.vdot(x, x)) ** 0.5 for x in mu_)
+    assert abs(lhs - rhs) < 1e-4 * max(scale, 1.0), (lhs, rhs)
+
+
+def test_lean_viscosity_mg_pcg_matches_jacobi_pcg():
+    """CG with the lean two-grid preconditioner reaches the same solution
+    as Jacobi-PCG on the coupled system, in no more iterations."""
+    from python_fluid_simulation_tpu.solvers.cg import cg
+
+    rng, shapes, precond, full_mv, act = _lean_mg_setup()
+    # SPD-consistent RHS: b = A x_true on an active-supported x_true
+    x_true = tuple(
+        jnp.where(
+            a, jnp.asarray(rng.standard_normal(s).astype(np.float32)), 0.0
+        )
+        for s, a in zip(shapes, act)
+    )
+    b = full_mv(x_true)
+    x0 = tuple(jnp.zeros(s, jnp.float32) for s in shapes)
+    x_mg, st_mg = cg(
+        full_mv, b, x0, tol=1e-6, rel_tol=1e-8, max_iter=600,
+        precond=precond,
+    )
+    x_j, st_j = cg(
+        full_mv, b, x0, tol=1e-6, rel_tol=1e-8, max_iter=600,
+        precond=None,
+    )
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(x_mg[a]), np.asarray(x_j[a]), rtol=2e-3, atol=2e-4
+        )
+    assert int(st_mg.iters) <= int(st_j.iters), (
+        int(st_mg.iters), int(st_j.iters),
+    )
+
+
+def test_permuted_geom_matvec_equivariance():
+    """Coordinate-relabelled geom kernel (tall-grid route) == original
+    XLA matvec: permute geometry/fields, apply, unpermute."""
+    from python_fluid_simulation_tpu.ops.pallas_cg import (
+        make_blocked_coupled_matvec_geom,
+    )
+    from python_fluid_simulation_tpu.solvers.viscosity import (
+        _permute_cls,
+        _permute_fields,
+        _permute_shapes,
+        _unpermute_fields,
+        viscosity_matvec_3d,
+    )
+
+    sphi, _, rng = _geom(31)
+    vol = jnp.asarray(rng.uniform(0.1, 1.0, DUAL).astype(np.float32))
+    shapes = [
+        tuple(n + (1 if i == a else 0) for i, n in enumerate(N))
+        for a in range(3)
+    ]
+    sphi_c = split_parity(sphi, 3)
+    vol_c = split_parity(vol, 3)
+    v = tuple(
+        jnp.asarray(rng.standard_normal(s).astype(np.float32))
+        for s in shapes
+    )
+    ref = viscosity_matvec_3d(v, 0.7, sphi_c, vol_c, False)
+    for perm in ((1, 0, 2), (2, 1, 0), (1, 2, 0)):
+        pshapes = _permute_shapes(perm, shapes)
+        mv_p = make_blocked_coupled_matvec_geom(
+            _permute_cls(sphi_c, perm), _permute_cls(vol_c, perm),
+            0.7, pshapes, interpret=True,
+        )
+        out = _unpermute_fields(perm, mv_p(_permute_fields(perm, v)))
+        for a in range(3):
+            np.testing.assert_allclose(
+                np.asarray(out[a]), np.asarray(ref[a]),
+                rtol=1e-5, atol=1e-5,
+                err_msg=f"perm={perm} axis={a}",
+            )
