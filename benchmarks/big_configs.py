@@ -39,6 +39,8 @@ def bench_scene(cfg, state, steps, warmup=2):
     elapsed = time.perf_counter() - t0
     last = {k: int(v[-1]) for k, v in metrics.items()
             if k.endswith("_iters")}
+    series = {k: [int(x) for x in v] for k, v in metrics.items()
+              if k.endswith("_iters")}
     from python_fluid_simulation_tpu.utils.roofline import roofline
 
     ms = elapsed / steps * 1000
@@ -52,6 +54,7 @@ def bench_scene(cfg, state, steps, warmup=2):
         "viscosity_precond": cfg.solver.viscosity_precond,
         "pallas": cfg.solver.pallas,
         "cg_iters_last_step": last,
+        "cg_iters_per_step": series,
         "roofline": roofline(
             cfg.grid.res, state.particles.x.shape[0], last, ms,
             jax.devices()[0].device_kind,
