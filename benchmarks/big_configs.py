@@ -37,10 +37,17 @@ def bench_scene(cfg, state, steps, warmup=2):
     s_f, metrics = simulate(state, cfg, steps, geom=geom)
     jax.block_until_ready(s_f)
     elapsed = time.perf_counter() - t0
-    last = {k: int(v[-1]) for k, v in metrics.items()
-            if k.endswith("_iters")}
-    series = {k: [int(x) for x in v] for k, v in metrics.items()
-              if k.endswith("_iters")}
+    import numpy as np
+
+    # single device->host transfer per series (a python int() loop over a
+    # jax array forces one transfer per element — ADVICE r3)
+    series = {k: np.asarray(v).astype(int).tolist()
+              for k, v in metrics.items() if k.endswith("_iters")}
+    last = {k: v[-1] for k, v in series.items()}
+    # the roofline model scales CG traffic with iteration count; per-step
+    # counts are volatile (ADVICE r3: 508 vs 70 on the same config), so
+    # feed the MEAN of the benched series, not the last step
+    mean_iters = {k: sum(v) / max(1, len(v)) for k, v in series.items()}
     from python_fluid_simulation_tpu.utils.roofline import roofline
 
     ms = elapsed / steps * 1000
@@ -55,8 +62,9 @@ def bench_scene(cfg, state, steps, warmup=2):
         "pallas": cfg.solver.pallas,
         "cg_iters_last_step": last,
         "cg_iters_per_step": series,
+        "cg_iters_mean": {k: round(v, 1) for k, v in mean_iters.items()},
         "roofline": roofline(
-            cfg.grid.res, state.particles.x.shape[0], last, ms,
+            cfg.grid.res, state.particles.x.shape[0], mean_iters, ms,
             jax.devices()[0].device_kind,
         ),
     }

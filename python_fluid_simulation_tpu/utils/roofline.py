@@ -67,9 +67,11 @@ def step_bytes_model(
     nf = 3 * nc
     k = int(particles)
 
-    p_it = int(iters.get("pressure_iters", 0))
-    d_it = int(iters.get("density_iters", 0))
-    v_it = int(iters.get("viscosity_iters", 0))
+    # accept fractional counts: callers pass the MEAN of the benched
+    # per-step series (last-step counts are volatile — ADVICE r3)
+    p_it = float(iters.get("pressure_iters", 0))
+    d_it = float(iters.get("density_iters", 0))
+    v_it = float(iters.get("viscosity_iters", 0))
 
     # implicit solves
     poisson = (p_it + d_it) * (7 + 2) * nc * B
