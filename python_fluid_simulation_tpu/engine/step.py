@@ -81,16 +81,13 @@ def build_geom_cache(solid, mesh=None) -> "GeomCache":
     from python_fluid_simulation_tpu.ops.indexing import split_parity
 
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
+        from jax.sharding import NamedSharding
 
-        _ax = mesh.axis_names[0]
+        from python_fluid_simulation_tpu.parallel.mesh import grid_pspec
 
         def gshard(x):
             return jax.lax.with_sharding_constraint(
-                x,
-                NamedSharding(
-                    mesh, PartitionSpec(_ax, *([None] * (x.ndim - 1)))
-                ),
+                x, NamedSharding(mesh, grid_pspec(mesh, x.ndim))
             )
     else:
 
@@ -132,16 +129,13 @@ def step_3d(
     sphi, sv = state.solid.phi, state.solid.v
 
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
+        from jax.sharding import NamedSharding
 
-        _ax = mesh.axis_names[0]
+        from python_fluid_simulation_tpu.parallel.mesh import grid_pspec
 
         def gshard(x):
             return jax.lax.with_sharding_constraint(
-                x,
-                NamedSharding(
-                    mesh, PartitionSpec(_ax, *([None] * (x.ndim - 1)))
-                ),
+                x, NamedSharding(mesh, grid_pspec(mesh, x.ndim))
             )
     else:
 
@@ -202,6 +196,10 @@ def step_3d(
     bucket_lost = jnp.int32(0)
     if bucketed:
         assert mesh is not None, "bucketed mode needs a mesh"
+        assert len(mesh.axis_names) == 1, (
+            "bucketed particle residency is slab-major along x — use a "
+            "1D mesh (the 2D (x,z) mesh runs the index-sharded path)"
+        )
         from python_fluid_simulation_tpu.parallel.particles import (
             rebucket,
             sharded_fluid_levelset,

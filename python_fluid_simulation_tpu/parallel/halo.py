@@ -31,18 +31,25 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
 
-def halo_exchange(x: jnp.ndarray, axis_name: str, width: int = 1):
-    """Append `width` cells received from both x-neighbours.
+def halo_exchange(
+    x: jnp.ndarray, axis_name: str, width: int = 1, array_axis: int = 0
+):
+    """Append `width` cells received from both neighbours along one mesh
+    axis.
 
-    Input: the local slab (n_loc, ...); output (n_loc + 2*width, ...) with
-    [0:width] = right edge of the left neighbour, [-width:] = left edge of
-    the right neighbour.  Edge devices receive zeros (domain boundary —
-    the solvers mask boundary cells anyway).
+    Input: the local block; output extended by 2*width along
+    ``array_axis`` with the leading halo = high edge of the low
+    neighbour and the trailing halo = low edge of the high neighbour.
+    Edge devices receive zeros (domain boundary — the solvers mask
+    boundary cells anyway).
     """
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
-    left_edge = x[:width]
-    right_edge = x[-width:]
+    size = x.shape[array_axis]
+    left_edge = jax.lax.slice_in_dim(x, 0, width, axis=array_axis)
+    right_edge = jax.lax.slice_in_dim(
+        x, size - width, size, axis=array_axis
+    )
     # receive from left neighbour (their right edge): shift right
     from_left = jax.lax.ppermute(
         right_edge, axis_name, [(i, i + 1) for i in range(n - 1)]
@@ -54,7 +61,7 @@ def halo_exchange(x: jnp.ndarray, axis_name: str, width: int = 1):
     from_right = jnp.where(
         idx < n - 1, from_right, jnp.zeros_like(from_right)
     )
-    return jnp.concatenate([from_left, x, from_right], axis=0)
+    return jnp.concatenate([from_left, x, from_right], axis=array_axis)
 
 
 def psum_dot(a, b, axis_name: str):
@@ -145,14 +152,72 @@ def sharded_pressure_matvec_interior_oracle(w_faces, lphi):
 
 def _pad_x(a, target: int, fill=0.0):
     """Zero-pad (or fill-pad) an array along axis 0 to `target` planes."""
-    if a.shape[0] == target:
+    return _pad_axis(a, target, 0, fill)
+
+
+def _pad_axis(a, target: int, axis: int, fill=0.0):
+    if a.shape[axis] == target:
         return a
-    pad = [(0, target - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (0, target - a.shape[axis])
     return jnp.pad(a, pad, constant_values=fill)
 
 
 def _padded_extent(nx: int, n_devices: int) -> int:
     return -(-nx // n_devices) * n_devices
+
+
+def _mesh_spatial(mesh: Mesh):
+    """[(mesh_axis_name, array_axis, n_devices_along_it)] of the spatial
+    decomposition: 1D meshes shard array axis 0, 2D (x, z) meshes shard
+    axes 0 and 2 (parallel.mesh.spatial_axes)."""
+    from python_fluid_simulation_tpu.parallel.mesh import spatial_axes
+
+    return [
+        (name, arr_axis, mesh.shape[name])
+        for name, arr_axis in spatial_axes(mesh)
+    ]
+
+
+def _pad_to_mesh(a, pairs, fill=0.0):
+    """Pad each sharded array axis to a multiple of its mesh extent."""
+    for _, arr_axis, n in pairs:
+        a = _pad_axis(a, _padded_extent(a.shape[arr_axis], n), arr_axis, fill)
+    return a
+
+
+def _block_spec(pairs, ndim):
+    spec = [None] * ndim
+    for name, arr_axis, _ in pairs:
+        spec[arr_axis] = name
+    return P(*spec)
+
+
+def _halo_all(x, pairs, width: int = 1):
+    """Halo-exchange along every sharded spatial axis (one ppermute per
+    axis; corner cells are never read by the 7-point/coupled stencils —
+    all offsets move along a single axis — so no corner exchange)."""
+    for name, arr_axis, _ in pairs:
+        x = halo_exchange(x, name, width, arr_axis)
+    return x
+
+
+def _slice_offset(q, off, pairs, local_shape):
+    """Read the ``off``-shifted block out of a halo-extended array:
+    sharded axes slice the halo, unsharded axes zero-fill shift."""
+    from python_fluid_simulation_tpu.ops.indexing import shift as _shift
+
+    sharded = {arr_axis for _, arr_axis, _ in pairs}
+    for a in sharded:
+        q = jax.lax.slice_in_dim(
+            q, 1 + off[a], 1 + off[a] + local_shape[a], axis=a
+        )
+    rest = tuple(
+        0 if a in sharded else off[a] for a in range(len(off))
+    )
+    if any(rest):
+        q = _shift(q, rest, 0.0)
+    return q
 
 
 def distributed_cell_poisson(
@@ -177,38 +242,33 @@ def distributed_cell_poisson(
     of the mesh (pad rows carry diag=0/coef=0/precond=1 so the pad block
     is an inert identity subsystem that stays exactly zero through CG).
     Traceable — callable from inside an outer jit (the engine step).
-    Returns (x, iters, residual).
+    With a 2D (x, z) mesh the halo exchange runs along BOTH sharded axes
+    (two ppermutes; the second moves the already-x-extended planes, so
+    no separate corner exchange is needed) and the psums reduce over the
+    whole mesh.  Returns (x, iters, residual).
     """
-    axis = mesh.axis_names[0]
-    n = mesh.devices.size
-    nx = b.shape[0]
-    X = _padded_extent(nx, n)
-    b_p = _pad_x(b, X)
-    diag_p = _pad_x(diag, X)
-    pd_p = _pad_x(precond_diag, X, fill=1.0)
+    pairs = _mesh_spatial(mesh)
+    axis_names = tuple(name for name, _, _ in pairs)
+    orig_shape = b.shape
+    b_p = _pad_to_mesh(b, pairs)
+    diag_p = _pad_to_mesh(diag, pairs)
+    pd_p = _pad_to_mesh(precond_diag, pairs, fill=1.0)
     offs = tuple(off for off, _ in coefs)
-    coef_fields = [_pad_x(c, X) for _, c in coefs]
+    coef_fields = [_pad_to_mesh(c, pairs) for _, c in coefs]
     n_coef = len(coef_fields)
 
-    from python_fluid_simulation_tpu.ops.indexing import shift as _shift
-
     def local_solve(b_l, diag_l, pd_l, *coef_ls):
-        nloc = b_l.shape[0]
+        lshape = b_l.shape
 
         def matvec(p_l):
-            p_h = halo_exchange(p_l, axis)
+            p_h = _halo_all(p_l, pairs)
             out = diag_l * p_l
             for off, c_l in zip(offs, coef_ls):
-                q = jax.lax.slice_in_dim(
-                    p_h, 1 + off[0], 1 + off[0] + nloc, axis=0
-                )
-                if off[1] or off[2]:
-                    q = _shift(q, (0, off[1], off[2]), 0.0)
-                out = out + c_l * q
+                out = out + c_l * _slice_offset(p_h, off, pairs, lshape)
             return out
 
         def gdot(u, v):
-            return psum_dot(u, v, axis)
+            return psum_dot(u, v, axis_names)
 
         r0 = b_l
         z0 = r0 / pd_l
@@ -241,7 +301,7 @@ def distributed_cell_poisson(
         )
         return x, k, res, res0
 
-    spec = P(axis, None, None)
+    spec = _block_spec(pairs, b.ndim)
     mapped = shard_map(
         local_solve,
         mesh=mesh,
@@ -249,8 +309,9 @@ def distributed_cell_poisson(
         out_specs=(spec, P(), P(), P()),
     )
     x, k, res, res0 = mapped(b_p, diag_p, pd_p, *coef_fields)
-    if X != nx:
-        x = jax.lax.slice_in_dim(x, 0, nx, axis=0)
+    for a, (want, have) in enumerate(zip(orig_shape, x.shape)):
+        if have != want:
+            x = jax.lax.slice_in_dim(x, 0, want, axis=a)
     return x, k, res, res0
 
 
@@ -304,30 +365,42 @@ def distributed_coupled_cg(
     `viscosity_term_fields`: diags/precond_diags are per-axis face arrays,
     per_axis_terms[a] is a list of (field, voff, coef) with coef shaped
     like face a.  Face arrays have different global extents per axis
-    ((nx+1,ny,nz), (nx,ny+1,nz), (nx,ny,nz+1)); all are padded along x to
-    one common multiple of the mesh so the slabs align.  Traceable.
+    ((nx+1,ny,nz), (nx,ny+1,nz), (nx,ny,nz+1)); all sharded spatial axes
+    are padded to one common multiple of the mesh so the blocks align
+    (2D (x, z) meshes shard/halo BOTH axes; the sequential exchange
+    extends corners for the cross-axis couplings).  Traceable.
     Returns (x_faces, iters, residual).
     """
-    axis = mesh.axis_names[0]
-    n = mesh.devices.size
+    pairs = _mesh_spatial(mesh)
+    axis_names = tuple(name for name, _, _ in pairs)
+    sharded_axes = [arr_axis for _, arr_axis, _ in pairs]
     d = len(b_faces)
     shapes = [v.shape for v in b_faces]
-    nx_max = max(s[0] for s in shapes)
-    X = _padded_extent(nx_max, n)
+    # common padded extent per sharded axis across all face shapes
+    common = {}
+    for _, arr_axis, n_dev in pairs:
+        common[arr_axis] = _padded_extent(
+            max(s[arr_axis] for s in shapes), n_dev
+        )
 
     from python_fluid_simulation_tpu.ops.indexing import sample as _sample
 
-    b_p = tuple(_pad_x(v, X) for v in b_faces)
-    x0_p = tuple(_pad_x(v, X) for v in x0_faces)
-    diag_p = tuple(_pad_x(v, X) for v in diags)
-    pd_p = tuple(_pad_x(v, X, fill=1.0) for v in precond_diags)
+    def pad_common(v, fill=0.0):
+        for arr_axis, target in common.items():
+            v = _pad_axis(v, target, arr_axis, fill)
+        return v
+
+    b_p = tuple(pad_common(v) for v in b_faces)
+    x0_p = tuple(pad_common(v) for v in x0_faces)
+    diag_p = tuple(pad_common(v) for v in diags)
+    pd_p = tuple(pad_common(v, fill=1.0) for v in precond_diags)
     # flatten the term coefficients into one arg list for shard_map
     term_meta = []  # (a, field, voff)
     term_coefs = []
     for a in range(d):
         for field, voff, coef in per_axis_terms[a]:
             term_meta.append((a, field, tuple(int(o) for o in voff)))
-            term_coefs.append(_pad_x(coef, X))
+            term_coefs.append(pad_common(coef))
 
     def local_solve(*args):
         bs = args[0:d]
@@ -335,19 +408,27 @@ def distributed_coupled_cg(
         ds = args[2 * d : 3 * d]
         pds = args[3 * d : 4 * d]
         coefs_l = args[4 * d :]
-        nloc = bs[0].shape[0]
-        yz_shapes = [b.shape[1:] for b in bs]
+        lshape = bs[0].shape
 
         def matvec(vs):
-            vhs = [halo_exchange(v, axis) for v in vs]
+            vhs = [_halo_all(v, pairs) for v in vs]
             outs = [ds[a] * vs[a] for a in range(d)]
             for (a, field, voff), c_l in zip(term_meta, coefs_l):
-                q = jax.lax.slice_in_dim(
-                    vhs[field], 1 + voff[0], 1 + voff[0] + nloc, axis=0
+                q = vhs[field]
+                for ax in sharded_axes:
+                    q = jax.lax.slice_in_dim(
+                        q, 1 + voff[ax], 1 + voff[ax] + lshape[ax],
+                        axis=ax,
+                    )
+                rest_off = tuple(
+                    0 if ax in sharded_axes else voff[ax]
+                    for ax in range(len(voff))
                 )
-                q = _sample(
-                    q, (0,) + voff[1:], (nloc,) + yz_shapes[a], 0.0
+                tgt = tuple(
+                    lshape[ax] if ax in sharded_axes else bs[a].shape[ax]
+                    for ax in range(len(voff))
                 )
+                q = _sample(q, rest_off, tgt, 0.0)
                 outs[a] = outs[a] + c_l * q
             return tuple(outs)
 
@@ -356,7 +437,7 @@ def distributed_coupled_cg(
                 jnp.vdot(u, v, precision=jax.lax.Precision.HIGHEST)
                 for u, v in zip(us, vs)
             )
-            return jax.lax.psum(local, axis)
+            return jax.lax.psum(local, axis_names)
 
         q0 = matvec(x0s)
         r0 = tuple(b - q for b, q in zip(bs, q0))
@@ -391,19 +472,23 @@ def distributed_coupled_cg(
         return (*x, k, res, res0)
 
     specs = tuple(
-        P(axis, *([None] * (v.ndim - 1)))
+        _block_spec(pairs, v.ndim)
         for v in (b_p + x0_p + diag_p + pd_p + tuple(term_coefs))
     )
     out_specs = tuple(
-        P(axis, *([None] * (v.ndim - 1))) for v in b_p
+        _block_spec(pairs, v.ndim) for v in b_p
     ) + (P(), P(), P())
     mapped = shard_map(
         local_solve, mesh=mesh, in_specs=specs, out_specs=out_specs
     )
     out = mapped(*b_p, *x0_p, *diag_p, *pd_p, *term_coefs)
     xs, k, res, res0 = out[:d], out[d], out[d + 1], out[d + 2]
-    xs = tuple(
-        jax.lax.slice_in_dim(x, 0, s[0], axis=0) if x.shape[0] != s[0] else x
-        for x, s in zip(xs, shapes)
-    )
+
+    def unpad(x, s):
+        for a, want in enumerate(s):
+            if x.shape[a] != want:
+                x = jax.lax.slice_in_dim(x, 0, want, axis=a)
+        return x
+
+    xs = tuple(unpad(x, s) for x, s in zip(xs, shapes))
     return xs, k, res, res0

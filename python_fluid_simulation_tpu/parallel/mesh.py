@@ -2,24 +2,28 @@
 
 The reference is single-GPU (SURVEY §2.4: one ``cp.cuda.Device(n).use()``,
 no NCCL/MPI anywhere).  Multi-device support is therefore designed fresh,
-TPU-first: the MAC grid is decomposed along the x spatial axis over a 1D
-``jax.sharding.Mesh`` (2D x/z meshes are a natural extension), particles
-are sharded along their leading dimension, CG dot products all-reduce over
-ICI, and stencil halos move via ``ppermute`` (see halo.py).
+TPU-first: the MAC grid is decomposed over a ``jax.sharding.Mesh`` —
+1D along the spatial x axis, or 2D over (x, z) (SURVEY §7's "GSPMD mesh
+over (x,z) grid axes") — particles are sharded along their leading
+dimension over ALL mesh devices, CG dot products all-reduce over ICI, and
+stencil halos move via ``ppermute`` along each sharded spatial axis
+(see halo.py).
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence, Tuple
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-GRID_AXIS = "x"  # mesh axis name used for spatial decomposition
+GRID_AXIS = "x"  # mesh axis name used for 1D spatial decomposition
+GRID_AXIS_Z = "z"  # second mesh axis of the 2D (x, z) decomposition
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = GRID_AXIS) -> Mesh:
+    """1D mesh: x-slab decomposition."""
     devs = jax.devices()
     n = n_devices or len(devs)
     if n > len(devs):
@@ -27,27 +31,79 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = GRID_AXIS) -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
+def make_mesh2d(shape: Tuple[int, int]) -> Mesh:
+    """2D (x, z) mesh: grid arrays shard along BOTH spatial axes 0 and 2.
+
+    Scaling past nx/slab-width devices (1D's cap) and shrinking the halo
+    surface of tall-thin shards (VERDICT r3 missing #1): an (nx, ny, nz)
+    field owns (nx/sx, ny, nz/sz) blocks; halos ride ICI along both mesh
+    axes, psums reduce over the whole mesh.
+    """
+    devs = jax.devices()
+    n = shape[0] * shape[1]
+    if n > len(devs):
+        raise ValueError(f"requested {n} devices, have {len(devs)}")
+    return Mesh(
+        np.array(devs[:n]).reshape(shape), (GRID_AXIS, GRID_AXIS_Z)
+    )
+
+
+def spatial_axes(mesh: Mesh) -> Sequence[Tuple[str, int]]:
+    """(mesh_axis_name, grid_array_axis) pairs of the decomposition:
+    [("x", 0)] for 1D meshes, [("x", 0), ("z", 2)] for 2D."""
+    names = mesh.axis_names
+    if len(names) == 1:
+        return [(names[0], 0)]
+    assert len(names) == 2, names
+    return [(names[0], 0), (names[1], 2)]
+
+
+def grid_pspec(mesh: Mesh, ndim: int) -> P:
+    """PartitionSpec of a grid-shaped array (cell/face/dual lattice):
+    array axis 0 over mesh axis "x", and (2D mesh) array axis 2 over
+    "z"; trailing dims (e.g. sv's component axis) replicated."""
+    spec = [None] * ndim
+    for name, arr_axis in spatial_axes(mesh):
+        if arr_axis < ndim:
+            spec[arr_axis] = name
+    return P(*spec)
+
+
 def particle_sharding(mesh: Mesh) -> NamedSharding:
-    """Particles are data-parallel along their leading dim."""
-    return NamedSharding(mesh, P(GRID_AXIS))
+    """Particles are data-parallel along their leading dim over ALL mesh
+    devices (both axes of a 2D mesh flatten onto dim 0)."""
+    names = mesh.axis_names
+    return NamedSharding(
+        mesh, P(names[0] if len(names) == 1 else tuple(names))
+    )
 
 
 def grid_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
-    """Grid fields decompose along the spatial x axis (GSPMD pads uneven
-    face/dual extents automatically)."""
-    return NamedSharding(mesh, P(GRID_AXIS, *([None] * (ndim - 1))))
+    """Grid fields decompose along the spatial x (and, 2D mesh, z) axes
+    (GSPMD pads uneven face/dual extents automatically)."""
+    return NamedSharding(mesh, grid_pspec(mesh, ndim))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _divisible(shape, mesh: Mesh) -> bool:
+    for name, arr_axis in spatial_axes(mesh):
+        if arr_axis >= len(shape):
+            return False
+        if shape[arr_axis] % mesh.shape[name] != 0:
+            return False
+    return True
+
+
 def shard_state(state, mesh: Mesh, shard_grid: bool = True):
     """Place a SimState for multi-device stepping: particles sharded
     data-parallel along their leading dim; with ``shard_grid`` (default)
     the solid dual lattices (phi/v, the largest persistent fields — 513³
-    per field at 256³) are slab-sharded along x so grid memory scales
-    with the mesh.  The tiny rigid-body table stays replicated."""
+    per field at 256³) are sharded over the mesh's spatial axes so grid
+    memory scales with the mesh.  The tiny rigid-body table stays
+    replicated."""
     ps = particle_sharding(mesh)
     rep = replicated(mesh)
     particles = state.particles
@@ -68,8 +124,7 @@ def shard_state(state, mesh: Mesh, shard_grid: bool = True):
             m=jnp.concatenate([particles.m, jnp.zeros((pad,), particles.m.dtype)]),
         )
     particles = jax.tree.map(lambda a: jax.device_put(a, ps), particles)
-    n_dev = mesh.devices.size
-    if shard_grid and state.solid.phi.shape[0] % n_dev == 0:
+    if shard_grid and _divisible(state.solid.phi.shape, mesh):
         solid = type(state.solid)(
             phi=jax.device_put(state.solid.phi, grid_sharding(mesh, state.solid.phi.ndim)),
             v=jax.device_put(state.solid.v, grid_sharding(mesh, state.solid.v.ndim)),
@@ -86,4 +141,5 @@ def shard_state(state, mesh: Mesh, shard_grid: bool = True):
         solid=solid,
         t=jax.device_put(state.t, rep),
         step_idx=jax.device_put(state.step_idx, rep),
+        visc_mg=state.visc_mg,
     )

