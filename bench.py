@@ -74,14 +74,37 @@ def main():
     elapsed = time.perf_counter() - t0
 
     steps_per_s = steps / elapsed
-    last_iters = {
-        k: int(v[-1]) for k, v in metrics.items() if k.endswith("_iters")
-    }
-    from python_fluid_simulation_tpu.utils.roofline import roofline
+    import numpy as np
 
+    iters_series = {
+        k: np.asarray(v).astype(int).tolist()
+        for k, v in metrics.items() if k.endswith("_iters")
+    }
+    mean_iters = {
+        k: sum(v) / max(1, len(v)) for k, v in iters_series.items()
+    }
+    from python_fluid_simulation_tpu.utils.roofline import (
+        hlo_bytes_per_step,
+        roofline,
+    )
+
+    measured_bytes = None
+    try:
+        from python_fluid_simulation_tpu.engine.step import _simulate_jit
+
+        import jax.numpy as jnp
+
+        st = state._replace(visc_mg=jnp.asarray(state.visc_mg, jnp.int32))
+        compiled = _simulate_jit.lower(
+            st, None, geom, cfg, steps, None, None, False
+        ).compile()
+        measured_bytes = hlo_bytes_per_step(compiled, steps)
+    except Exception:
+        pass
     roof = roofline(
-        cfg.grid.res, n_particles, last_iters,
+        cfg.grid.res, n_particles, mean_iters,
         elapsed / steps * 1000, jax.devices()[0].device_kind,
+        measured_bytes_per_step=measured_bytes,
     )
     out = {
         "metric": (

@@ -23,10 +23,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def bench_scene(cfg, state, steps, warmup=2):
     import jax
 
-    from python_fluid_simulation_tpu.engine.step import _geom_jit, simulate
+    from python_fluid_simulation_tpu.engine.step import (
+        _geom_jit,
+        _simulate_jit,
+        simulate,
+    )
 
     geom = None if cfg.moving_solid else _geom_jit(state.solid, None)
     jax.block_until_ready(geom)
+    # measured bytes of the compiled program (XLA cost analysis) — the
+    # honest roofline numerator (cached compile: same program the timed
+    # run uses)
+    from python_fluid_simulation_tpu.utils.roofline import (
+        hlo_bytes_per_step,
+    )
+
+    import jax.numpy as jnp
+
+    state = state._replace(visc_mg=jnp.asarray(state.visc_mg, jnp.int32))
+    try:
+        compiled = _simulate_jit.lower(
+            state, None, geom, cfg, steps, None, None, False
+        ).compile()
+        measured_bytes = hlo_bytes_per_step(compiled, steps)
+    except Exception:
+        measured_bytes = None
     s_w, m_w = simulate(state, cfg, steps, geom=geom)
     jax.block_until_ready(s_w)
     # free the warmup outputs BEFORE the timed run: at 8M cells the
@@ -66,6 +87,7 @@ def bench_scene(cfg, state, steps, warmup=2):
         "roofline": roofline(
             cfg.grid.res, state.particles.x.shape[0], mean_iters, ms,
             jax.devices()[0].device_kind,
+            measured_bytes_per_step=measured_bytes,
         ),
     }
 

@@ -29,6 +29,20 @@ import jax.numpy as jnp
 
 from python_fluid_simulation_tpu.ops.indexing import sample, shift
 
+# Windowed segmented passes cover segments up to 2^_SEG_LOG2 rows.
+# Segments are particles-per-cell: seeding is 2^d per cell (PDX = GDX/2)
+# and the density projection clamps compression at 1.5x, so live cells
+# hold ~8-12 particles with transient pile-ups well under 64.  64 (6
+# passes) replaces the old 256 (8 passes) default — the windowed min and
+# the segment broadcast are ~25% of the 128^3 step's scatter machinery
+# (round-4 profile), so two fewer (K, 128) passes each is a real win.
+# Padding rows never share segments with live particles
+# (transfers.padding_dump_ids), so they don't inflate segment lengths.
+import os as _os
+
+_SEG_LOG2 = int(_os.environ.get("PFS_SEG_LOG2", "6"))
+_BCAST_GATHER = _os.environ.get("PFS_BCAST_GATHER", "0") != "0"
+
 
 def sort_by_segment(ids: jnp.ndarray, *vals: jnp.ndarray):
     """Sort (ids, vals...) by ids. vals may be (K,) or (K, C)."""
@@ -128,7 +142,7 @@ def segment_min_sorted(
     sorted_ids: jnp.ndarray,
     num_segments: int,
     fill,
-    max_segment_log2: int = 8,
+    max_segment_log2: int | None = None,
 ) -> jnp.ndarray:
     """Per-segment minima of already-sorted values.
 
@@ -137,9 +151,12 @@ def segment_min_sorted(
     element of each segment holds the min of its first 2^K elements.
     Segments here are particles-per-cell — bounded by ~tens (the density
     projection clamps compression at 1.5x, seeding is 2^d per cell), so
-    K=8 (exact for <=256/cell) costs 8 memory passes instead of the
-    log2(N)≈19 a global associative_scan needs.
+    the default _SEG_LOG2 window (exact for <= 2^_SEG_LOG2 per cell)
+    costs that many memory passes instead of the log2(N)≈19 a global
+    associative_scan needs.
     """
+    if max_segment_log2 is None:
+        max_segment_log2 = _SEG_LOG2
     first, last = _segment_marks(sorted_ids)
     if vals.ndim == 2:
         scanned = _seg_scan_fwd(vals, first, "min")
@@ -163,7 +180,7 @@ def segment_min_sorted(
 def segment_broadcast_sorted(
     table: jnp.ndarray,
     sorted_ids: jnp.ndarray,
-    max_segment_log2: int = 8,
+    max_segment_log2: int | None = None,
 ) -> jnp.ndarray:
     """Gather-free ``out[i] = table[sorted_ids[i]]`` for sorted ids.
 
@@ -185,9 +202,21 @@ def segment_broadcast_sorted(
     [0, num_segments).  Returns (K, C).  Segments longer than
     2**max_segment_log2 are NOT fully filled — particles-per-cell is
     bounded by seeding (2^d/cell) and the density projection's 1.5x
-    compression clamp, so 256 is generous (same bound as
-    `segment_min_sorted`).
+    compression clamp, so the default _SEG_LOG2=6 (64/cell) is generous
+    (same bound as `segment_min_sorted`).
+
+    PFS_BCAST_GATHER=1 switches to a plain row gather (table rows are
+    full 128-lane tiles here — 512 B/row, not the 4-byte rows that made
+    per-corner gathers row-bound in round 2); A/B flag, measured at the
+    step level.
     """
+    if max_segment_log2 is None:
+        max_segment_log2 = _SEG_LOG2
+    if _BCAST_GATHER:
+        # out-of-range ids (padding dump rows) read as zeros
+        return jnp.take(
+            table, sorted_ids, axis=0, mode="fill", fill_value=0.0
+        )
     k = sorted_ids.shape[0]
     num_segments = table.shape[0]
     first, _ = _segment_marks(sorted_ids)
@@ -383,8 +412,28 @@ def fold_scattered_sep(
     )
 
 
+_PALLAS_TRANSPOSE = _os.environ.get("PFS_PALLAS_TRANSPOSE", "0") != "0"
+
+
 def channels_first(seg_mc: jnp.ndarray, grid_shape: Sequence[int]) -> jnp.ndarray:
-    """(M, C) segment table -> (C, *grid_shape) channel-major grids."""
+    """(M, C) segment table -> (C, *grid_shape) channel-major grids.
+
+    PFS_PALLAS_TRANSPOSE=1 routes the C <= 128 hop through the tiled
+    Pallas transpose kernel.  Measured at the step level (buckling_128,
+    round 4): 444 ms/step vs 220 for the XLA moveaxis — the standalone
+    kernel breaks XLA's producer/consumer fusion around the hop, which
+    outweighs the relayout saving.  OFF by default; kept as the recorded
+    A/B."""
+    if _PALLAS_TRANSPOSE and seg_mc.ndim == 2:
+        from python_fluid_simulation_tpu.ops.pallas_transpose import (
+            transpose_available,
+            transpose_mc,
+        )
+
+        if transpose_available(seg_mc):
+            return transpose_mc(seg_mc).reshape(
+                (seg_mc.shape[-1],) + tuple(grid_shape)
+            )
     return jnp.moveaxis(seg_mc, -1, 0).reshape(
         (seg_mc.shape[-1],) + tuple(grid_shape)
     )

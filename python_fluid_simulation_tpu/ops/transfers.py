@@ -180,6 +180,9 @@ def _p2g_channels(px, pm, pv, pc, biases, bound_min, cell_size, volume):
     h = jnp.asarray(cell_size, dtype=px.dtype)
     gi0, _, w0 = _corner_setup(px, bound_min, cell_size, (0.0,) * d)
 
+    # Every intermediate is 2D (K, C): (K, C, d) arrays tile the minor
+    # d=3 dim to 128 lanes on TPU (42x padding waste — round-4 profile,
+    # see _g2p_reduce)
     blocks = []
     specs = []  # (axis, channel_offset_tuple) per PAIR of channels
     for a in range(d):
@@ -193,19 +196,22 @@ def _p2g_channels(px, pm, pv, pc, biases, bound_min, cell_size, volume):
         ]
         coffs_list = list(itertools.product(*offs_range))
         specs += [(a, coffs) for coffs in coffs_list]
-        coffs_arr = jnp.asarray(coffs_list, jnp.int32)  # (C, d)
-        # corner offset rel. the staggered home, per particle/channel
-        o = coffs_arr[None, :, :] - delta[:, None, :]  # (K, C, d)
-        wd = jnp.where(
-            o == 0, (1.0 - w_a)[:, None, :],
-            jnp.where(o == 1, w_a[:, None, :], 0.0),
-        )
-        weight = jnp.prod(wd, axis=-1)  # (K, C)
-        # APIC affine term with the particle's actual corner offset
-        o_h = o.astype(px.dtype) * h
-        cv = jnp.sum(
-            (disp_a[:, None, :] + o_h) * pc[:, a, :][:, None, :], axis=-1
-        )  # (K, C)
+        weight = None
+        cv = None  # APIC affine term Σ_dd (disp_dd + o_dd h_dd) c[a, dd]
+        for dd in range(d):
+            off_col = jnp.asarray(
+                [o[dd] for o in coffs_list], jnp.int32
+            )[None, :]
+            o = off_col - delta[:, dd][:, None]  # (K, C)
+            w_col = w_a[:, dd][:, None]
+            wd = jnp.where(
+                o == 0, 1.0 - w_col, jnp.where(o == 1, w_col, 0.0)
+            )
+            weight = wd if weight is None else weight * wd
+            term = (
+                disp_a[:, dd][:, None] + o.astype(px.dtype) * h[dd]
+            ) * pc[:, a, dd][:, None]
+            cv = term if cv is None else cv + term
         m_blk = weight * pm[:, None]
         v_blk = m_blk * (pv[:, a][:, None] + cv)
         # interleave [m0, v0, m1, v1, ...] to match `specs` pairing
@@ -222,17 +228,19 @@ def _p2g_channels(px, pm, pv, pc, biases, bound_min, cell_size, volume):
         frac_f = two_w - s_fine
         pv_vol = pvol * (pm > 0)  # zero-mass particles are padding
         vol_rs = list(itertools.product((0, 1, 2), repeat=d))
-        r_arr = jnp.asarray(vol_rs, jnp.int32)  # (27, d)
-        ua = jnp.where(
-            s_fine[:, None, :] == r_arr[None, :, :],
-            (1.0 - frac_f)[:, None, :],
-            jnp.where(
-                s_fine[:, None, :] + 1 == r_arr[None, :, :],
-                frac_f[:, None, :],
-                0.0,
-            ),
-        )
-        blocks.append(jnp.prod(ua, axis=-1) * pv_vol[:, None])
+        ua_prod = None
+        for dd in range(d):
+            r_col = jnp.asarray(
+                [r[dd] for r in vol_rs], jnp.int32
+            )[None, :]
+            s_col = s_fine[:, dd][:, None]
+            f_col = frac_f[:, dd][:, None]
+            ua = jnp.where(
+                s_col == r_col, 1.0 - f_col,
+                jnp.where(s_col + 1 == r_col, f_col, 0.0),
+            )
+            ua_prod = ua if ua_prod is None else ua_prod * ua
+        blocks.append(ua_prod * pv_vol[:, None])
     return blocks, specs, vol_rs, gi0
 
 
@@ -450,7 +458,12 @@ def _g2p_offsets(biases, d):
 def _g2p_reduce(vals, px_s, offs_lists, biases, bound_min, cell_size):
     """Weights & affine-gradient factors applied to broadcast corner
     values, in sorted space.  Shared by `g2p_all` and the sharded
-    bucketed path.  Returns (K, d*(1+d)): per axis [pv_a, pc_a0..d]."""
+    bucketed path.  Returns (K, d*(1+d)): per axis [pv_a, pc_a0..d].
+
+    Every intermediate is a 2D (K, C) array: a (K, C, d) formulation
+    tiles its minor d=3 dim to 128 lanes on TPU — 42x padding waste that
+    showed up as ~45 ms/step of weight-chain traffic in the round-4
+    128^3 profile (transfers.py:458-481 attribution)."""
     d = px_s.shape[-1]
     h = jnp.asarray(cell_size, dtype=px_s.dtype)
     gi0, _, _ = _corner_setup(px_s, bound_min, cell_size, (0.0,) * d)
@@ -459,24 +472,34 @@ def _g2p_reduce(vals, px_s, offs_lists, biases, bound_min, cell_size):
     for a in range(d):
         gi_a, _, w_a = _corner_setup(px_s, bound_min, cell_size, biases[a])
         delta = gi_a - gi0  # in {-1, 0} per axis, exact
-        offs_arr = jnp.asarray(offs_lists[a], jnp.int32)  # (C, d)
-        o = offs_arr[None, :, :] - delta[:, None, :]  # (K, C, d)
-        wd = jnp.where(
-            o == 0, (1.0 - w_a)[:, None, :],
-            jnp.where(o == 1, w_a[:, None, :], 0.0),
-        )
-        v_a = vals[:, col : col + len(offs_lists[a])]
-        col += len(offs_lists[a])
-        weight = jnp.prod(wd, axis=-1)
+        C = len(offs_lists[a])
+        v_a = vals[:, col : col + C]
+        col += C
+        # per-dim factor (K, C) and sign (K, C), built from (C,) static
+        # offset columns against the (K, 1) delta column
+        wd = []
+        sg = []
+        for dd in range(d):
+            off_col = jnp.asarray(
+                [o[dd] for o in offs_lists[a]], jnp.int32
+            )[None, :]
+            o = off_col - delta[:, dd][:, None]  # (K, C)
+            w_col = w_a[:, dd][:, None]
+            wd.append(
+                jnp.where(o == 0, 1.0 - w_col, jnp.where(o == 1, w_col, 0.0))
+            )
+            sg.append(jnp.where(o == 1, 1.0, jnp.where(o == 0, -1.0, 0.0)))
+        weight = wd[0]
+        for dd in range(1, d):
+            weight = weight * wd[dd]
         outs.append(jnp.sum(weight * v_a, axis=-1))  # pv_a
         # affine-gradient row: dim k swaps wd_k for the signed unit
         # derivative (cell 3 :196-205); invalid offsets contribute 0
-        sign = jnp.where(o == 1, 1.0, jnp.where(o == 0, -1.0, 0.0))
         for k in range(d):
-            g = sign[:, :, k]
+            g = sg[k]
             for j in range(d):
                 if j != k:
-                    g = g * wd[:, :, j]
+                    g = g * wd[j]
             outs.append(jnp.sum(g * v_a, axis=-1) / h[k])
     return jnp.stack(outs, axis=-1)  # (K, d*(1+d))
 

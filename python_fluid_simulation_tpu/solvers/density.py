@@ -439,19 +439,27 @@ def apply_displacement_all(
     gi_0, _, _ = _corner_setup(px_s, bound_min, cell_size, (0.0,) * d)
     outs = []
     col = 0
+    # 2D (K, C) intermediates only — a (K, C, d) formulation pads the
+    # minor d=3 dim to 128 lanes (see transfers._g2p_reduce)
     for a in range(d):
         bias = _face_bias(a, d)
         gi_a, _, w_a = _corner_setup(px_s, bound_min, cell_size, bias)
         delta = gi_a - gi_0  # 0 on own axis, {-1,0} transverse — exact
-        offs_arr = jnp.asarray(offs_lists[a], jnp.int32)
-        o = offs_arr[None, :, :] - delta[:, None, :]
-        wd = jnp.where(
-            o == 0, (1.0 - w_a)[:, None, :],
-            jnp.where(o == 1, w_a[:, None, :], 0.0),
-        )
-        v_a = vals[:, col : col + len(offs_lists[a])]
-        col += len(offs_lists[a])
-        outs.append(jnp.sum(jnp.prod(wd, axis=-1) * v_a, axis=-1))
+        C = len(offs_lists[a])
+        v_a = vals[:, col : col + C]
+        col += C
+        weight = None
+        for dd in range(d):
+            off_col = jnp.asarray(
+                [o[dd] for o in offs_lists[a]], jnp.int32
+            )[None, :]
+            o = off_col - delta[:, dd][:, None]  # (K, C)
+            w_col = w_a[:, dd][:, None]
+            wd = jnp.where(
+                o == 0, 1.0 - w_col, jnp.where(o == 1, w_col, 0.0)
+            )
+            weight = wd if weight is None else weight * wd
+        outs.append(jnp.sum(weight * v_a, axis=-1))
     disp_sorted = jnp.stack(outs, axis=-1)
     from python_fluid_simulation_tpu.ops.scatter import unsort_rows
 

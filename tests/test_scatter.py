@@ -143,7 +143,9 @@ def test_fold_scattered_sep_matches_dense():
 
 def test_segment_broadcast_sorted_matches_take():
     """segment_broadcast_sorted == table[ids] for sorted ids, including
-    empty segments and a segment at the 2^8 fill bound."""
+    empty segments and a segment at the fill bound (the engine default
+    window is 2^6 = 64/cell — scatter._SEG_LOG2; this test pins the
+    bound explicitly)."""
     from python_fluid_simulation_tpu.ops.scatter import (
         segment_broadcast_sorted,
     )
@@ -154,7 +156,7 @@ def test_segment_broadcast_sorted_matches_take():
     ids = np.sort(
         np.concatenate(
             [
-                np.full(256, 3, np.int32),  # exactly at the fill bound
+                np.full(64, 3, np.int32),  # exactly at the default bound
                 rng.integers(4, m, 300).astype(np.int32),
                 np.zeros(1, np.int32),
             ]
