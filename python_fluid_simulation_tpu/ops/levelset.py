@@ -59,7 +59,9 @@ def compute_fluid_levelset(
     h = jnp.asarray(cell_size, dtype=px.dtype)
     hi = jnp.asarray(res, dtype=jnp.int32) - 1
 
-    background = jnp.asarray(3.0 * gdx, px.dtype)
+    background_f = 3.0 * float(gdx)  # python float: the binned-kernel
+    # fill is a static kernel parameter (scatter._binned_reduce_or_none)
+    background = jnp.asarray(background_f, px.dtype)
     offsets = list(itertools.product(range(-2, 3), repeat=d))
 
     size_ = 1
@@ -149,7 +151,7 @@ def compute_fluid_levelset(
     )
 
     if size < _group_threshold():
-        seg = segment_min_sorted(vals, sorted_ids, size, background)
+        seg = segment_min_sorted(vals, sorted_ids, size, background_f)
         seg_cf = channels_first(seg, tuple(res))
         return fold_scattered_sep(
             seg_cf, [tuple(range(-2, 3))] * d, tuple(res), "min",
@@ -163,7 +165,7 @@ def compute_fluid_levelset(
     per = 5 ** (d - 1)
     for gi_x, ox in enumerate(range(-2, 3)):
         sub = vals[:, gi_x * per : (gi_x + 1) * per]
-        seg = segment_min_sorted(sub, sorted_ids, size, background)
+        seg = segment_min_sorted(sub, sorted_ids, size, background_f)
         seg_cf = channels_first(seg, tuple(res))
         folded = fold_scattered_sep(
             seg_cf,

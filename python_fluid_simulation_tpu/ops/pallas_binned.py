@@ -1,0 +1,197 @@
+"""Binned segmented reduce: sorted (K, C) rows -> dense (M, C) table.
+
+The scatter engine's reduction+placement pipeline (ops/scatter.py)
+builds the dense per-cell table from cell-sorted particle rows in 4-9
+full passes over the (K, 128)-lane data — cumsum + cummax backpointers +
+row gather + unique-index scatter for sums, 6 windowed masked-doubling
+passes + scatter for mins — and the placement's fill+scatter over the
+dense (M, 128-lane) buffer dominates big grids (596 ms/step at
+coiling_504's 8.8M-cell table).  This kernel does the whole thing in
+ONE streaming pass.
+
+Design (output-tiled, scalar-prefetched ranges):
+  * XLA precomputes, per output tile t (a (TM, C) row block of the dense
+    table), the EXACT sorted-row range [lo, hi) feeding it
+    (searchsorted; contiguous because ids are sorted, and a segment
+    never spans tiles since a segment is one id) plus the enclosing
+    DMA-aligned chunk range.
+  * Each grid step initialises its VMEM tile to the fill value and
+    streams its chunks from HBM (manual async DMA — the ranges are
+    data-dependent, so BlockSpec pipelining cannot express them).
+  * A serial scalar sweep accumulates the CURRENT segment's reduce in a
+    vreg-resident (1, C) carry (one vector load + op per row — no VMEM
+    read-modify-write) and stores it once per segment when the id
+    changes.  Chunk-crossing segments store chunk-local partials; the
+    op-accumulating store keeps any split exact.
+
+Out-of-range ids (the engine's padding "dump" rows, ids >= M) sort to
+the end and fall outside every tile's row range — dropped for free.
+
+Availability: TPU backend (or interpret=True for CPU tests), f32,
+C <= 512, K >= 2 * CH (tiny inputs keep the XLA path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TM = 2048  # output rows per tile
+_CH = 2048  # input rows per DMA chunk
+
+
+def binned_reduce_available(
+    vals, num_segments: int, interpret: bool = False
+) -> bool:
+    if not interpret and jax.default_backend() != "tpu":
+        return False
+    return (
+        vals.ndim == 2
+        and vals.dtype == jnp.float32
+        and vals.shape[-1] <= 512
+        and vals.shape[0] >= 2 * _CH
+        and num_segments >= _TM
+    )
+
+
+def _kernel(op, fill, rows_ref, ids_ref, vals_hbm, out_ref, vchunk,
+            ichunk, sems):
+    t = pl.program_id(0)
+    c_lo = rows_ref[4 * t]
+    c_hi = rows_ref[4 * t + 1]
+    lo = rows_ref[4 * t + 2]
+    hi = rows_ref[4 * t + 3]
+    base = t * _TM
+    out_ref[:] = jnp.full_like(out_ref, fill)
+    n_ch = out_ref.shape[1]
+
+    def combine(a, b):
+        return a + b if op == "add" else jnp.minimum(a, b)
+
+    def store(row, acc):
+        cur = out_ref[pl.ds(row, 1), :]
+        out_ref[pl.ds(row, 1), :] = combine(cur, acc)
+
+    def chunk_body(c, _):
+        start = pl.multiple_of(c * _CH, _CH)
+        vdma = pltpu.make_async_copy(
+            vals_hbm.at[pl.ds(start, _CH), :], vchunk, sems.at[0]
+        )
+        idma = pltpu.make_async_copy(
+            ids_ref.at[pl.ds(start, _CH)], ichunk, sems.at[1]
+        )
+        vdma.start()
+        idma.start()
+        vdma.wait()
+        idma.wait()
+        r_lo = jnp.maximum(lo - start, 0)
+        r_hi = jnp.minimum(hi - start, _CH)
+
+        def row_body(r, carry):
+            prev_id, acc = carry
+            rid = ichunk[r]
+            vrow = vchunk[pl.ds(r, 1), :]
+            is_new = (rid != prev_id) & (prev_id >= 0)
+
+            @pl.when(is_new)
+            def _():
+                store(prev_id - base, acc)
+
+            acc = jnp.where(
+                (rid == prev_id)[None],
+                combine(acc, vrow),
+                vrow,
+            )
+            return (rid, acc)
+
+        prev_id, acc = jax.lax.fori_loop(
+            r_lo, r_hi, row_body,
+            (jnp.int32(-1), jnp.zeros((1, n_ch), jnp.float32)),
+        )
+        # flush the carried segment (chunk-local partial if it continues
+        # into the next chunk — op-accumulation keeps the split exact)
+        @pl.when(prev_id >= 0)
+        def _():
+            store(prev_id - base, acc)
+
+        return 0
+
+    jax.lax.fori_loop(c_lo, c_hi, chunk_body, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_segments", "op", "fill", "interpret")
+)
+def binned_segment_reduce(
+    vals: jnp.ndarray,
+    sorted_ids: jnp.ndarray,
+    num_segments: int,
+    op: str = "add",
+    fill: float = 0.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One-pass segmented reduce of sorted rows to a dense table.
+
+    vals: (K, C) f32, sorted by ``sorted_ids``; ids outside
+    [0, num_segments) are dropped.  Returns (num_segments, C) where row
+    m is op-reduced over the rows with id m (``fill`` where empty).
+    """
+    k, c_in = vals.shape
+    ids32 = sorted_ids.astype(jnp.int32)
+    # DMA slice shapes must be 128-lane aligned (Mosaic)
+    c = ((c_in + 127) // 128) * 128
+    if c != c_in:
+        vals = jnp.pad(vals, ((0, 0), (0, c - c_in)))
+    m_pad = ((num_segments + _TM - 1) // _TM) * _TM
+    n_tiles = m_pad // _TM
+    # pad rows so chunk DMAs of fixed _CH never run off the end
+    kpad = ((k + _CH - 1) // _CH) * _CH + _CH
+    vals_p = jnp.pad(vals, ((0, kpad - k), (0, 0)))
+    ids_p = jnp.pad(
+        ids32, (0, kpad - k), constant_values=jnp.int32(2**31 - 1)
+    )
+    # per-tile ranges, interleaved [c_lo, c_hi, lo, hi]: the enclosing
+    # DMA-aligned chunk range + the exact row range.  ids >=
+    # num_segments (padding dump rows) fall beyond the last tile, and
+    # the flush guard (prev_id >= 0) never fires for empty ranges.
+    bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * _TM
+    row_bounds = jnp.searchsorted(ids_p, bounds, side="left")
+    lo = row_bounds[:-1].astype(jnp.int32)
+    hi = row_bounds[1:].astype(jnp.int32)
+    c_lo = lo // _CH
+    c_hi = (hi + _CH - 1) // _CH
+    # empty tiles: no chunks at all
+    c_hi = jnp.where(hi == lo, c_lo, c_hi)
+    rows = jnp.stack([c_lo, c_hi, lo, hi], axis=-1).reshape(-1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # ids in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # vals stay in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (_TM, c), lambda t, rows_ref: (t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_CH, c), jnp.float32),
+            pltpu.SMEM((_CH,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, op, fill),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m_pad, c), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(rows, ids_p, vals_p)
+    return out[:num_segments, :c_in]

@@ -42,6 +42,28 @@ import os as _os
 
 _SEG_LOG2 = int(_os.environ.get("PFS_SEG_LOG2", "6"))
 _BCAST_GATHER = _os.environ.get("PFS_BCAST_GATHER", "0") != "0"
+# Binned one-pass Pallas reduce+placement (ops/pallas_binned.py); the
+# kill switch keeps the pure-XLA pipeline for A/B and debugging.
+_NO_BINNED = _os.environ.get("PFS_NO_BINNED", "0") != "0"
+
+
+def _binned_reduce_or_none(vals, sorted_ids, num_segments, op, fill):
+    if _NO_BINNED or vals.ndim != 2:
+        return None
+    try:
+        fill_c = float(fill)  # constants only (static kernel arg)
+    except Exception:
+        return None
+    from python_fluid_simulation_tpu.ops.pallas_binned import (
+        binned_reduce_available,
+        binned_segment_reduce,
+    )
+
+    if not binned_reduce_available(vals, num_segments):
+        return None
+    return binned_segment_reduce(
+        vals, sorted_ids, num_segments, op=op, fill=fill_c
+    )
 
 
 def sort_by_segment(ids: jnp.ndarray, *vals: jnp.ndarray):
@@ -113,7 +135,15 @@ def segment_sum_sorted(
     measured 61 ms/step at 128^3 for the 54-column density placement vs
     ~6 ms for the >=81-column row-major form.  The lane dim pads 54 and
     81 to 128 alike, so the spare columns are free everywhere en route.
+
+    On TPU the whole reduce+placement runs as ONE streaming pass via the
+    binned Pallas kernel (ops/pallas_binned.py) — measured 104x the XLA
+    multi-pass pipeline at 128^3 shapes (0.36 vs 37 ms for the level-set
+    min) — with the XLA formulation as the CPU/fallback path.
     """
+    out = _binned_reduce_or_none(vals, sorted_ids, num_segments, "add", 0.0)
+    if out is not None:
+        return out
     k = sorted_ids.shape[0]
     n_real = None
     if widen and vals.ndim == 2 and vals.shape[-1] <= 64:
@@ -157,6 +187,12 @@ def segment_min_sorted(
     """
     if max_segment_log2 is None:
         max_segment_log2 = _SEG_LOG2
+    out = _binned_reduce_or_none(
+        vals, sorted_ids, num_segments, "min", fill
+    )
+    if out is not None:
+        # binned kernel: exact for ANY segment length (no window cap)
+        return out
     first, last = _segment_marks(sorted_ids)
     if vals.ndim == 2:
         scanned = _seg_scan_fwd(vals, first, "min")
@@ -205,19 +241,22 @@ def segment_broadcast_sorted(
     compression clamp, so the default _SEG_LOG2=6 (64/cell) is generous
     (same bound as `segment_min_sorted`).
 
-    PFS_BCAST_GATHER=1 switches to a plain row gather (table rows are
-    full 128-lane tiles here — 512 B/row, not the 4-byte rows that made
-    per-corner gathers row-bound in round 2); A/B flag, measured at the
-    step level.
+    Route choice: the scatter+scan path reads the FULL table once (the
+    placement scatter streams all M rows), the row-gather path reads K
+    random 512 B rows.  Measured at the step level: broadcast wins at
+    128^3 (M ~= 2.3 K: 220 vs 230 ms/step), gather wins when the table
+    dwarfs the particle set (coiling_504: M ~= 19 K — the two table
+    scans were 157 ms/step).  Auto-switch at M > 4 K;
+    PFS_BCAST_GATHER=1 forces the gather everywhere.
     """
     if max_segment_log2 is None:
         max_segment_log2 = _SEG_LOG2
-    if _BCAST_GATHER:
+    k = sorted_ids.shape[0]
+    if _BCAST_GATHER or table.shape[0] > 4 * k:
         # out-of-range ids (padding dump rows) read as zeros
         return jnp.take(
             table, sorted_ids, axis=0, mode="fill", fill_value=0.0
         )
-    k = sorted_ids.shape[0]
     num_segments = table.shape[0]
     first, _ = _segment_marks(sorted_ids)
     # segment-first positions, per segment id.  Non-first elements park
