@@ -313,11 +313,17 @@ def step_3d(
         tuple(n + (1 if i == a else 0) for i, n in enumerate(g.res))
         for a in range(3)
     ]
+    # fp32 hardening (docs/PARITY.md divergence #9): faces carrying
+    # < 1e-7 of one particle mass are numerically empty — dividing
+    # momentum by the EXACT tiny mass amplifies summation noise into
+    # unbounded velocities (observed Inf/NaN at the funnel pile-up)
+    mass_floor = 1e-7 * ph.rho * cfg.particle_dx ** 3
     if bspec is not None:
         gm, gv, lvol, sort_info = sharded_p2g_all(
             p, mesh, bspec, g.res, fshapes, _FACE_BIAS,
             g.bound_min, g.cell_size,
             volume=(cfg.particle_dx ** 3, g.dual_cell_size),
+            mass_floor=mass_floor,
         )
     else:
         gm, gv, lvol, sort_info = p2g_all(
@@ -326,6 +332,7 @@ def step_3d(
             volume=(cfg.particle_dx ** 3, g.dual_cell_size),
             with_sort_info=True,
             sort_info=shared_sort,
+            mass_floor=mass_floor,
         )
     gm = [gshard(m_a) for m_a in gm]
     gv = [gshard(v_a) for v_a in gv]
@@ -422,7 +429,11 @@ def step_3d(
         gv[a], _ = extrapolate(gv[a], gm[a] > 0, 2)
 
     # -- boundary conditions (:4655)
-    gv = list(apply_boundary_condition(gv, gm, sphi_c, sv_c, g.dx))
+    gv = list(
+        apply_boundary_condition(
+            gv, gm, sphi_c, sv_c, g.dx, mass_floor=mass_floor
+        )
+    )
 
     # -- G2P (:4660): gather-free segment broadcast over P2G's cell sort
     #    (positions unchanged between P2G and G2P)

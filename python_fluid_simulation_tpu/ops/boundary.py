@@ -34,6 +34,7 @@ def boundary_dv_axis(
     sphi: jnp.ndarray,
     sv: jnp.ndarray,
     dx: float,
+    mass_floor: float = 0.0,
 ) -> jnp.ndarray:
     """dv for one face grid. Reference: boundary_condition_{x,y,z}."""
     d = len(gv)
@@ -68,7 +69,10 @@ def boundary_dv_axis(
                 vm_sum = vm_sum + vt * mt
                 m_sum = m_sum + mt
         mass_ok = mass_ok & (m_sum > 0)
-        v_avg = vm_sum / jnp.maximum(m_sum, 1e-30)
+        # relative floor (see transfers.p2g_all mass_floor): a transverse
+        # group below ~1e-7 particle masses is numerically empty; the
+        # exact tiny division amplifies fp32 summation noise unboundedly
+        v_avg = vm_sum / jnp.maximum(m_sum, max(mass_floor, 1e-30))
         v_rel[t] = v_avg - svc(t)
 
     # solid normal: central difference of sphi in each direction (cell 5)
@@ -96,6 +100,7 @@ def apply_boundary_condition(
     sphi: jnp.ndarray,
     sv: jnp.ndarray,
     dx: float,
+    mass_floor: float = 0.0,
 ) -> Tuple[jnp.ndarray, ...]:
     """Returns the corrected face velocities (g.v += g.dv, cell 5 :436-441)."""
     d = len(gv)
@@ -106,6 +111,6 @@ def apply_boundary_condition(
     )
     out = []
     for a in range(d):
-        dv = boundary_dv_axis(a, gv, gm, sphi_c, sv_c, dx)
+        dv = boundary_dv_axis(a, gv, gm, sphi_c, sv_c, dx, mass_floor)
         out.append(gv[a] + dv)
     return tuple(out)

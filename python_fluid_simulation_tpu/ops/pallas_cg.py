@@ -290,7 +290,12 @@ def make_fused_coupled_cg(
 
     diag_ps = [lay.pad3(d) for d in diags]
     # padded preconditioner rows divide the (zero) padded residual: pad 1
-    pd_ps = [lay.pad3(p - 1.0) + 1.0 for p in pdiags]
+    # pad rows must carry pd=1 (identity) — pad with the FILL, never the
+    # (p - 1) + 1 trick: f32 absorbs tiny diagonals (1.8e-8 - 1 + 1 == 0),
+    # and a zeroed pd turns z = r/pd into Inf -> NaN one iteration in
+    # (hit at the funnel pile-up once exact segmented sums produced
+    # genuinely tiny control volumes)
+    pd_ps = [lay.pad3(p, fill=1.0) for p in pdiags]
     coef_ps = []
     table = []
     for a in range(F):
@@ -694,7 +699,12 @@ def make_fused_coupled_cg_geom(
     lay, matvec_dq = _make_geom_matvec(
         sphi_c, vol_c, s_mu, face_shapes, strict_fluid, interpret
     )
-    pd_ps = [lay.pad3(p - 1.0) + 1.0 for p in pdiags]
+    # pad rows must carry pd=1 (identity) — pad with the FILL, never the
+    # (p - 1) + 1 trick: f32 absorbs tiny diagonals (1.8e-8 - 1 + 1 == 0),
+    # and a zeroed pd turns z = r/pd into Inf -> NaN one iteration in
+    # (hit at the funnel pile-up once exact segmented sums produced
+    # genuinely tiny control volumes)
+    pd_ps = [lay.pad3(p, fill=1.0) for p in pdiags]
     b_call, c_call = _make_bc_passes(lay, interpret)
     return _make_driver(
         lay, matvec_dq, pd_ps, b_call, c_call, tol, rel_tol, max_iter

@@ -50,6 +50,10 @@ _NO_BINNED = _os.environ.get("PFS_NO_BINNED", "0") != "0"
 def _binned_reduce_or_none(vals, sorted_ids, num_segments, op, fill):
     if _NO_BINNED or vals.ndim != 2:
         return None
+    if _os.environ.get(f"PFS_NO_BINNED_{op.upper()}", "0") != "0":
+        return None
+    if _os.environ.get("PFS_NO_BINNED_C") == str(vals.shape[-1]):
+        return None
     try:
         fill_c = float(fill)  # constants only (static kernel arg)
     except Exception:

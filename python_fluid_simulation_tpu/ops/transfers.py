@@ -285,8 +285,19 @@ def p2g_all(
     volume=None,
     with_sort_info: bool = False,
     sort_info: "SortInfo | None" = None,
+    mass_floor: float = 0.0,
 ):
     """All axes' P2G in ONE sort + segmented sum + dense placement.
+
+    ``mass_floor`` (engine passes 1e-7x one particle mass) floors the
+    momentum/mass division denominator: a face carrying less than that
+    is numerically empty, and dividing by the EXACT tiny mass amplifies
+    fp32 summation noise (~eps*pm*v absolute) by up to ~1e5*vmax —
+    measured as Inf/NaN blow-ups at the funnel pile-up once the binned
+    reduce kernel removed the XLA cumsum's accidental noise floor.
+    With the floor, |gv| <= max|particle v| always (|gv_m| <= gm*vmax).
+    Default 0.0 keeps the reference's exact `m > 0` semantics for
+    oracle tests (docs/PARITY.md divergence #9).
 
     Numerically equivalent to three `p2g_axis` calls (same kernels,
     cell 2 :96-177) up to summation order: every axis' staggered home
@@ -412,7 +423,11 @@ def p2g_all(
         ]
         gm = jnp.pad(gm, pad)
         gv_m = jnp.pad(gv_m, pad)
-        gv = jnp.where(gm > 0, gv_m / jnp.where(gm > 0, gm, 1.0), 0.0)
+        den = (
+            jnp.maximum(gm, mass_floor) if mass_floor
+            else jnp.where(gm > 0, gm, 1.0)
+        )
+        gv = jnp.where(gm > 0, gv_m / den, 0.0)
         gms.append(gm)
         gvs.append(gv)
     if volume is None:

@@ -360,6 +360,7 @@ def sharded_p2g_all(
     bound_min,
     cell_size,
     volume=None,
+    mass_floor: float = 0.0,
 ):
     """Shard-local `p2g_all`: bucketed particles scatter into their own
     grid slab; only the two x-spill planes of each output cross shards
@@ -450,9 +451,12 @@ def sharded_p2g_all(
         gms, gvs = [], []
         for a in range(d):
             gm, gv_m = outs[2 * a], outs[2 * a + 1]
-            gv = jnp.where(
-                gm > 0, gv_m / jnp.where(gm > 0, gm, 1.0), 0.0
+            # see transfers.p2g_all mass_floor (fp32 noise amplification)
+            den = (
+                jnp.maximum(gm, mass_floor) if mass_floor
+                else jnp.where(gm > 0, gm, 1.0)
             )
+            gv = jnp.where(gm > 0, gv_m / den, 0.0)
             gms.append(gm)
             gvs.append(gv)
 

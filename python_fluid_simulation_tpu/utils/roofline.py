@@ -151,7 +151,13 @@ def roofline(
 
 def hlo_bytes_per_step(compiled, num_steps: int):
     """Bytes the compiled scan program actually accesses per step, from
-    XLA's cost analysis (None when unavailable)."""
+    XLA's cost analysis (None when unavailable).
+
+    CAVEAT: cost analysis counts a while-loop BODY once, not times its
+    trip count, so CG-iteration traffic is under-counted — treat this as
+    the STATIC program byte count (a lower bound dominated by the
+    non-loop pipelines).  The iteration-scaled algorithmic model above
+    complements it on the solver side."""
     try:
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
