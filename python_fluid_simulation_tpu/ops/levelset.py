@@ -146,6 +146,44 @@ def compute_fluid_levelset(
     size = 1
     for s in res:
         size *= s
+
+    # Opt-in (recorded LOSS): binned min into a group-padded (K, 160)
+    # table + the 5^3 fold kernel (ops/pallas_fold5.py) consuming it in
+    # native layout.  Exact-parity on TPU, but the kernel's per-piece
+    # masked lane extract does 32x the vector work of a direct slice —
+    # measured 265 vs 204 ms/step at 128^3 — so the XLA
+    # transpose+separable-fold stays the default.  PFS_FOLD5=1 enables.
+    import os as _os
+
+    if (
+        _os.environ.get("PFS_FOLD5", "0") != "0"
+        and _os.environ.get("PFS_NO_BINNED", "0") == "0"
+        and d == 3
+    ):
+        from python_fluid_simulation_tpu.ops.pallas_binned import (
+            binned_reduce_available,
+            binned_segment_reduce,
+        )
+        from python_fluid_simulation_tpu.ops.pallas_fold5 import (
+            fold5_available,
+            fold5_min,
+        )
+
+        probe = jax.ShapeDtypeStruct((n, 160), vals.dtype)
+        if (
+            fold5_available(res)
+            and binned_reduce_available(probe, size)
+        ):
+            vals160 = jnp.pad(
+                vals.reshape(n, 5, 25),
+                ((0, 0), (0, 0), (0, 7)),
+                constant_values=background_f,
+            ).reshape(n, 160)
+            seg160 = binned_segment_reduce(
+                vals160, sorted_ids, size, op="min", fill=background_f
+            )
+            return fold5_min(seg160, tuple(res), background_f)
+
     from python_fluid_simulation_tpu.ops.transfers import (
         _group_threshold,
     )

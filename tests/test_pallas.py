@@ -747,3 +747,72 @@ def test_permuted_geom_matvec_equivariance():
                 rtol=1e-5, atol=1e-5,
                 err_msg=f"perm={perm} axis={a}",
             )
+
+
+def test_fold5_min_matches_xla_fold():
+    """ops/pallas_fold5 (opt-in, recorded step-level loss — kept as the
+    documented experiment) folds the group-padded 5^3 min table exactly
+    like channels_first + fold_scattered_sep."""
+    import numpy as np
+
+    from python_fluid_simulation_tpu.ops.pallas_fold5 import fold5_min
+    from python_fluid_simulation_tpu.ops.scatter import (
+        channels_first,
+        fold_scattered_sep,
+    )
+
+    rng = np.random.default_rng(0)
+    res = (7, 10, 8)
+    M = 7 * 10 * 8
+    bg = 3.7
+    t = rng.uniform(0, 5, (M, 125)).astype(np.float32)
+    t160 = np.full((M, 160), bg, np.float32)
+    for g in range(5):
+        t160[:, 32 * g : 32 * g + 25] = t[:, 25 * g : 25 * g + 25]
+    got = np.asarray(
+        fold5_min(jnp.asarray(t160), res, bg, interpret=True)
+    )
+    seg_cf = channels_first(jnp.asarray(t), res)
+    want = np.asarray(
+        fold_scattered_sep(
+            seg_cf, [tuple(range(-2, 3))] * 3, res, "min", bg
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_binned_segment_reduce_matches_numpy():
+    """ops/pallas_binned (the default TPU reduce+placement engine):
+    interpret-mode parity for sum and min, incl. padding dump rows and
+    chunk-spanning segments."""
+    import numpy as np
+
+    from python_fluid_simulation_tpu.ops.pallas_binned import (
+        binned_segment_reduce,
+    )
+
+    rng = np.random.default_rng(7)
+    K, C, M = 9000, 30, 5000
+    ids = np.sort(rng.integers(0, M, K)).astype(np.int32)
+    ids[-100:] = M + 7 + np.arange(100)  # padding dump rows
+    # a long segment to exercise chunk-partial accumulation
+    ids[1000:1400] = ids[1000]
+    ids = np.sort(ids)
+    vals = rng.standard_normal((K, C)).astype(np.float32)
+    live = ids < M
+
+    out = binned_segment_reduce(
+        jnp.asarray(vals), jnp.asarray(ids), M, op="add", fill=0.0,
+        interpret=True,
+    )
+    ref = np.zeros((M, C), np.float64)
+    np.add.at(ref, ids[live], vals[live].astype(np.float64))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+    outm = binned_segment_reduce(
+        jnp.asarray(vals), jnp.asarray(ids), M, op="min", fill=9.5,
+        interpret=True,
+    )
+    refm = np.full((M, C), 9.5, np.float64)
+    np.minimum.at(refm, ids[live], vals[live].astype(np.float64))
+    np.testing.assert_allclose(np.asarray(outm), refm, atol=0)
