@@ -28,7 +28,12 @@ Out-of-range ids (the engine's padding "dump" rows, ids >= M) sort to
 the end and fall outside every tile's row range — dropped for free.
 
 Availability: TPU backend (or interpret=True for CPU tests), f32,
-C <= 512, K >= 2 * CH (tiny inputs keep the XLA path).
+C <= 512, K >= 2 * CH, and num_segments >= 4e5: at small grids the
+kernel call LOSES to XLA's tightly-fused small-op pipeline (flagship
+48x80x48, M = 205k: 81 vs 40 ms/step — the pallas_call boundary breaks
+producer/consumer fusion around the transfer), while from 128^3-class
+tables up it wins large (811k: 244 -> 204 ms/step; 8.8M: the old
+placement fill+scatter alone was 596 ms/step).
 """
 
 from __future__ import annotations
@@ -54,7 +59,7 @@ def binned_reduce_available(
         and vals.dtype == jnp.float32
         and vals.shape[-1] <= 512
         and vals.shape[0] >= 2 * _CH
-        and num_segments >= _TM
+        and num_segments >= 400_000
     )
 
 

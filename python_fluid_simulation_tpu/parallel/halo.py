@@ -9,7 +9,12 @@ products become ``lax.psum`` over the mesh axis — the only *global*
 communication in the whole algorithm.
 
 Used for: (a) validating the communication pattern on a virtual CPU mesh,
-(b) the building block for Pallas remote-DMA halos later.
+(b) the engine's default halo transport.  The Pallas remote-DMA
+alternative now exists (`halo_rdma.halo_exchange_rdma` — edge planes
+pushed straight into the neighbour's buffer over ICI, no collective
+runtime), bit-parity-validated against this ppermute path on the
+8-device mesh; ppermute stays the default until multi-chip hardware is
+available to measure the per-iteration latency win.
 """
 
 from __future__ import annotations

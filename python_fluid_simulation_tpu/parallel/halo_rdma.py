@@ -1,0 +1,123 @@
+"""Pallas remote-DMA halo exchange (VERDICT r3 missing #3).
+
+`halo.halo_exchange` moves 1-cell halos with `lax.ppermute` — XLA
+inserts a collective-permute, which is correct but pays the collective
+runtime's scheduling latency per CG iteration.  At real-pod scale the
+per-iteration latency of distributed CG is the wall (SURVEY §2.4(a));
+this module is the hand-scheduled alternative: a Pallas kernel that
+pushes the edge planes straight into the neighbour's output buffer over
+ICI with `make_async_remote_copy` — one RDMA + semaphore pair per
+direction, no collective runtime involvement.
+
+Semantics match `halo_exchange(x, axis_name, width=1, array_axis=0)`:
+output (n_loc + 2, ...) with [0:1] = left neighbour's top edge, [-1:] =
+right neighbour's bottom edge, zeros at the true domain boundary
+(non-periodic).
+
+Validated on the 8-virtual-CPU mesh via Pallas' distributed interpret
+mode (`pltpu.InterpretParams`), the same fake-backend strategy the rest
+of the parallel layer uses (tests/test_parallel.py); on hardware it
+lowers to ICI RDMAs.  The ppermute path remains the default engine
+route — switching the distributed solvers over is a flip of
+`halo.halo_exchange` once multi-chip hardware is available to measure
+the latency win.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(axis_name, x_ref, out_ref, send_sem, recv_sem):
+    n = x_ref.shape[0]
+    my = jax.lax.axis_index(axis_name)
+    ndev = jax.lax.axis_size(axis_name)
+
+    # local interior
+    out_ref[pl.ds(1, n)] = x_ref[:]
+
+    # true-boundary halos are zeros (the solvers mask boundary cells)
+    @pl.when(my == 0)
+    def _():
+        out_ref[pl.ds(0, 1)] = jnp.zeros_like(x_ref[pl.ds(0, 1)])
+
+    @pl.when(my == ndev - 1)
+    def _():
+        out_ref[pl.ds(n + 1, 1)] = jnp.zeros_like(x_ref[pl.ds(0, 1)])
+
+    # my top edge -> right neighbour's out[0:1]
+    to_right = pltpu.make_async_remote_copy(
+        src_ref=x_ref.at[pl.ds(n - 1, 1)],
+        dst_ref=out_ref.at[pl.ds(0, 1)],
+        send_sem=send_sem.at[0],
+        recv_sem=recv_sem.at[0],
+        device_id=my + 1,
+        device_id_type=pltpu.DeviceIdType.LOGICAL,
+    )
+    # my bottom edge -> left neighbour's out[n+1:n+2]
+    to_left = pltpu.make_async_remote_copy(
+        src_ref=x_ref.at[pl.ds(0, 1)],
+        dst_ref=out_ref.at[pl.ds(n + 1, 1)],
+        send_sem=send_sem.at[1],
+        recv_sem=recv_sem.at[1],
+        device_id=my - 1,
+        device_id_type=pltpu.DeviceIdType.LOGICAL,
+    )
+
+    @pl.when(my < ndev - 1)
+    def _():
+        to_right.start()
+
+    @pl.when(my > 0)
+    def _():
+        to_left.start()
+
+    @pl.when(my < ndev - 1)
+    def _():
+        to_right.wait_send()
+
+    @pl.when(my > 0)
+    def _():
+        to_left.wait_send()
+
+    # receives: recv_sem[0] is signalled by the LEFT neighbour's
+    # to_right copy; recv_sem[1] by the RIGHT neighbour's to_left
+    @pl.when(my > 0)
+    def _():
+        to_right.wait_recv()
+
+    @pl.when(my < ndev - 1)
+    def _():
+        to_left.wait_recv()
+
+
+def halo_exchange_rdma(
+    x: jnp.ndarray, axis_name: str, interpret: bool | None = None
+) -> jnp.ndarray:
+    """Drop-in for halo.halo_exchange(x, axis_name) (width 1, axis 0),
+    must be called inside shard_map over ``axis_name``."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = x.shape[0]
+    kern = pl.pallas_call(
+        functools.partial(_kernel, axis_name),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n + 2,) + x.shape[1:], x.dtype),
+        scratch_shapes=[
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, collective_id=7
+        ),
+        interpret=(
+            pltpu.InterpretParams() if interpret else False
+        ),
+    )
+    return kern(x)
