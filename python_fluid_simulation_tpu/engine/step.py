@@ -352,7 +352,9 @@ def step_3d(
     # probing the contraction rate in-step misfires on Jacobi's early
     # plateau, measured on TPU coiling-256: probe-based auto chose MG in
     # the early regime where MG is 2x WORSE).  Switch to MG after a
-    # >= viscosity_auto_iters step; fall back once MG converges in < 16.
+    # >= viscosity_auto_iters step; fall-back rules at the update below
+    # (cost-entered MG falls back on cheap convergence, failure-entered
+    # MG is sticky).
     visc_mg = jnp.asarray(state.visc_mg, jnp.int32)
     use_mg = visc_mg > 0
     if ph.mu > 0:
@@ -383,7 +385,21 @@ def step_3d(
                 warm_start=warm,
                 auto_use_mg=use_mg,
             )
-            if capture_ml:
+            if capture_ml == "raw":
+                # storage-friendly capture: the raw fields around the CG
+                # solve (~10 MB/step at the flagship vs ~150 MB for the
+                # built feature boxes); models/train.pairs_from_raw
+                # rebuilds the ViscosityExample at training time
+                from python_fluid_simulation_tpu.ops.indexing import (
+                    merge_parity,
+                )
+
+                ml_pair = {
+                    "gv_before": tuple(gv),
+                    "gv_after": tuple(vres.v_faces),
+                    "lvol": merge_parity(lvol, sphi.shape),
+                }
+            elif capture_ml:
                 from python_fluid_simulation_tpu.models.train import (
                     capture_viscosity_pair,
                 )
@@ -454,16 +470,25 @@ def step_3d(
     # converges in ~20-70, so Jacobi wins below ~800 iterations; the MG
     # flip exists for CORRECTNESS — a Jacobi solve that hits the cap is a
     # silently under-solved step — so non-convergence also triggers it.
-    # Fall back once MG converges cheaply enough that Jacobi is surely
-    # faster (mg_iters * cost_ratio < the switch threshold).
+    # Three states in the carried flag (r4 advisor high):
+    #   0 = Jacobi; 1 = MG entered on COST (Jacobi converged but slowly);
+    #   2 = MG entered on Jacobi NON-CONVERGENCE — sticky.  State 1 falls
+    # back once MG converges cheaply enough that Jacobi is surely faster
+    # (mg_iters * cost_ratio < the switch threshold); state 2 never falls
+    # back on low MG iters — MG converging fast says nothing about
+    # whether Jacobi's 600-iteration cap now suffices, and the old single
+    # flag oscillated MG -> Jacobi(cap, under-solved) -> MG every other
+    # step in the pooled coiling regime.
     _mg_fallback = max(16, sol.viscosity_auto_iters // 12)
     new_visc_mg = jnp.where(
         use_mg,
-        jnp.where(visc_iters < _mg_fallback, 0, 1),
         jnp.where(
-            (visc_iters >= sol.viscosity_auto_iters) | (~visc_conv),
-            1,
-            0,
+            (visc_mg == 1) & (visc_iters < _mg_fallback), 0, visc_mg
+        ),
+        jnp.where(
+            ~visc_conv,
+            2,
+            jnp.where(visc_iters >= sol.viscosity_auto_iters, 1, 0),
         ),
     ).astype(jnp.int32)
     new_state = SimState(

@@ -63,6 +63,187 @@ def binned_reduce_available(
     )
 
 
+def binned_broadcast_available(
+    table, sorted_ids, interpret: bool = False
+) -> bool:
+    if not interpret and jax.default_backend() != "tpu":
+        return False
+    return (
+        table.ndim == 2
+        and table.dtype == jnp.float32
+        and table.shape[-1] <= 512
+        and sorted_ids.shape[0] >= 2 * _CH
+        and table.shape[0] >= 400_000
+    )
+
+
+_BTM = 8192  # table rows per broadcast tile
+_UNROLL = 4  # rows per serial-loop iteration
+
+
+def _bcast_kernel(n_tiles, rows_ref, ids_ref, table_ref, out_hbm,
+                  ochunk, ichunk, sems):
+    """Mirror image of `_kernel`: tile t holds table rows
+    [t*_BTM, (t+1)*_BTM) in VMEM and fills the contiguous sorted-row
+    range [lo, hi) of the output with `table[id - base]`, streaming the
+    output in chunks.  Boundary chunks (shared with the neighbouring
+    tile) are read-modify-written — the sequential grid makes the RMW
+    exact — while interior chunks skip the read DMA.  The row loop is
+    unrolled ``_UNROLL``-wide (rows are independent: pure load+store, so
+    unrolled iterations pipeline); overshoot lanes park in dummy rows
+    past the chunk.  The extra grid step `t == n_tiles` zero-fills the
+    tail rows whose ids fall outside the table (padding dump rows)."""
+    t = pl.program_id(0)
+    c_lo = rows_ref[4 * t]
+    c_hi = rows_ref[4 * t + 1]
+    lo = rows_ref[4 * t + 2]
+    hi = rows_ref[4 * t + 3]
+    base = t * _BTM
+    is_tail = t == n_tiles
+
+    def chunk_body(c, _):
+        start = pl.multiple_of(c * _CH, _CH)
+        r_lo = jnp.maximum(lo - start, 0)
+        r_hi = jnp.minimum(hi - start, _CH)
+        boundary = (r_lo > 0) | (r_hi < _CH)
+
+        odma = pltpu.make_async_copy(
+            out_hbm.at[pl.ds(start, _CH), :],
+            ochunk.at[pl.ds(0, _CH), :],
+            sems.at[0],
+        )
+        idma = pltpu.make_async_copy(
+            ids_ref.at[pl.ds(start, _CH)], ichunk, sems.at[1]
+        )
+
+        # boundary chunks preserve the neighbour tile's rows (the tail's
+        # first chunk preserves the last tile's); interior chunks are
+        # fully overwritten, so the read DMA is skipped
+        @pl.when(boundary)
+        def _():
+            odma.start()
+
+        idma.start()
+        idma.wait()
+
+        @pl.when(boundary)
+        def _():
+            odma.wait()
+
+        @pl.when(jnp.logical_not(is_tail))
+        def _():
+            n_it = (r_hi - r_lo + _UNROLL - 1) // _UNROLL
+
+            def row_body(i, _):
+                r0 = r_lo + i * _UNROLL
+                for u in range(_UNROLL):
+                    r = r0 + u
+                    rid = ichunk[jnp.minimum(r, _CH - 1)]
+                    src = jnp.clip(rid - base, 0, _BTM - 1)
+                    dst = jnp.where(r < r_hi, r, _CH + u)
+                    ochunk[pl.ds(dst, 1), :] = table_ref[
+                        pl.ds(src, 1), :
+                    ]
+                return 0
+
+            jax.lax.fori_loop(0, n_it, row_body, 0)
+
+        @pl.when(is_tail)
+        def _():
+            rows_idx = jax.lax.broadcasted_iota(
+                jnp.int32, (_CH, ochunk.shape[1]), 0
+            )
+            mask = (rows_idx >= r_lo) & (rows_idx < r_hi)
+            cur = ochunk[pl.ds(0, _CH), :]
+            ochunk[pl.ds(0, _CH), :] = jnp.where(mask, 0.0, cur)
+
+        wdma = pltpu.make_async_copy(
+            ochunk.at[pl.ds(0, _CH), :],
+            out_hbm.at[pl.ds(start, _CH), :],
+            sems.at[2],
+        )
+        wdma.start()
+        wdma.wait()
+        return 0
+
+    jax.lax.fori_loop(c_lo, c_hi, chunk_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def binned_segment_broadcast(
+    table: jnp.ndarray,
+    sorted_ids: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One-pass ``out[i] = table[sorted_ids[i]]`` for non-decreasing ids.
+
+    table: (M, C) f32; sorted_ids: (K,) non-decreasing; rows whose id
+    falls outside [0, M) (the engine's padding dump rows, sorted last)
+    read zeros.  Returns (K, C).  The XLA formulation needs two
+    unique-index scatters plus a 6-7 pass masked-doubling segmented scan
+    (ops/scatter.segment_broadcast_sorted); this is the same streaming
+    single pass as `binned_segment_reduce`, mirrored.
+    """
+    k, = sorted_ids.shape
+    c_in = table.shape[-1]
+    ids32 = sorted_ids.astype(jnp.int32)
+    c = ((c_in + 127) // 128) * 128
+    if c != c_in:
+        table = jnp.pad(table, ((0, 0), (0, c - c_in)))
+    m = table.shape[0]
+    m_pad = ((m + _BTM - 1) // _BTM) * _BTM
+    n_tiles = m_pad // _BTM
+    table_p = jnp.pad(table, ((0, m_pad - m), (0, 0)))
+    kpad = ((k + _CH - 1) // _CH) * _CH
+    ids_p = jnp.pad(
+        ids32, (0, kpad - k), constant_values=jnp.int32(2**31 - 1)
+    )
+    bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * _BTM
+    row_bounds = jnp.searchsorted(ids_p, bounds, side="left")
+    lo = row_bounds[:-1].astype(jnp.int32)
+    hi = row_bounds[1:].astype(jnp.int32)
+    # tail step: rows with ids >= m (live padding rows + kpad padding)
+    k_live = jnp.searchsorted(
+        ids_p, jnp.asarray(m, jnp.int32), side="left"
+    ).astype(jnp.int32)
+    lo = jnp.concatenate([lo, k_live[None]])
+    hi = jnp.concatenate([hi, jnp.asarray([kpad], jnp.int32)])
+    c_lo = lo // _CH
+    c_hi = (hi + _CH - 1) // _CH
+    c_hi = jnp.where(hi == lo, c_lo, c_hi)
+    rows = jnp.stack([c_lo, c_hi, lo, hi], axis=-1).reshape(-1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles + 1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # ids in HBM
+            pl.BlockSpec(  # table tile in VMEM (clamped for the tail)
+                (_BTM, c),
+                lambda t, rows_ref: (jnp.minimum(t, n_tiles - 1), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            # _UNROLL dummy rows past the chunk park overshoot stores
+            pltpu.VMEM((_CH + _UNROLL, c), jnp.float32),
+            pltpu.SMEM((_CH,), jnp.int32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_bcast_kernel, n_tiles),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((kpad, c), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(rows, ids_p, table_p)
+    return out[:k, :c_in]
+
+
 def _kernel(op, fill, rows_ref, ids_ref, vals_hbm, out_ref, vchunk,
             ichunk, sems):
     t = pl.program_id(0)

@@ -32,19 +32,35 @@ from python_fluid_simulation_tpu.ops.indexing import sample, shift
 # Windowed segmented passes cover segments up to 2^_SEG_LOG2 rows.
 # Segments are particles-per-cell: seeding is 2^d per cell (PDX = GDX/2)
 # and the density projection clamps compression at 1.5x, so live cells
-# hold ~8-12 particles with transient pile-ups well under 64.  64 (6
-# passes) replaces the old 256 (8 passes) default — the windowed min and
-# the segment broadcast are ~25% of the 128^3 step's scatter machinery
-# (round-4 profile), so two fewer (K, 128) passes each is a real win.
-# Padding rows never share segments with live particles
-# (transfers.padding_dump_ids), so they don't inflate segment lengths.
+# hold ~8-12 particles in steady state — but the repo's own notes record
+# funnel pile-up TRANSIENTS, and the windowed paths only run where the
+# binned Pallas kernel does NOT apply (small grids, i.e. exactly the
+# flagship funnel).  A cell transiently holding more than the window
+# silently corrupts the windowed min/broadcast, so the default stays at
+# 2^7 = 128/cell (r4 advisor low: the r4 drop to 2^6 traded silent
+# corruption risk for one pass).  Padding rows never share segments with
+# live particles (transfers.padding_dump_ids), so they don't inflate
+# segment lengths.
 import os as _os
 
-_SEG_LOG2 = int(_os.environ.get("PFS_SEG_LOG2", "6"))
+_SEG_LOG2 = int(_os.environ.get("PFS_SEG_LOG2", "7"))
 _BCAST_GATHER = _os.environ.get("PFS_BCAST_GATHER", "0") != "0"
 # Binned one-pass Pallas reduce+placement (ops/pallas_binned.py); the
 # kill switch keeps the pure-XLA pipeline for A/B and debugging.
 _NO_BINNED = _os.environ.get("PFS_NO_BINNED", "0") != "0"
+
+
+def _binned_broadcast_or_none(table, sorted_ids):
+    if _NO_BINNED or _os.environ.get("PFS_NO_BINNED_BCAST", "0") != "0":
+        return None
+    from python_fluid_simulation_tpu.ops.pallas_binned import (
+        binned_broadcast_available,
+        binned_segment_broadcast,
+    )
+
+    if not binned_broadcast_available(table, sorted_ids):
+        return None
+    return binned_segment_broadcast(table, sorted_ids)
 
 
 def _binned_reduce_or_none(vals, sorted_ids, num_segments, op, fill):
@@ -178,7 +194,16 @@ def segment_min_sorted(
     fill,
     max_segment_log2: int | None = None,
 ) -> jnp.ndarray:
-    """Per-segment minima of already-sorted values.
+    """Per-segment minima of already-sorted values, CLAMPED at ``fill``:
+    row m of the result is ``min(fill, min over segment m)``.
+
+    The clamp is the contract on every route (r4 advisor low: the binned
+    kernel init-at-fill clamps non-empty segments at fill while the old
+    XLA path returned true minima above it, so TPU and CPU could return
+    different far-field values).  It matches the reference's
+    background-initialised ``atomic.min`` scatter exactly (cell 4 :288:
+    phi starts at 3*gdx and only ever goes DOWN), which is the one
+    consumer whose semantics matter — the level set.
 
     Windowed masked suffix-min: pass k folds vals[i+2^k] into vals[i]
     when both belong to the same segment; after K passes the FIRST
@@ -195,8 +220,11 @@ def segment_min_sorted(
         vals, sorted_ids, num_segments, "min", fill
     )
     if out is not None:
-        # binned kernel: exact for ANY segment length (no window cap)
+        # binned kernel: exact for ANY segment length (no window cap);
+        # clamp-at-fill is inherent (tiles init at fill, min-accumulate)
         return out
+    # clamp first so every route agrees with the binned kernel
+    vals = jnp.minimum(vals, jnp.asarray(fill, vals.dtype))
     first, last = _segment_marks(sorted_ids)
     if vals.ndim == 2:
         scanned = _seg_scan_fwd(vals, first, "min")
@@ -261,6 +289,12 @@ def segment_broadcast_sorted(
         return jnp.take(
             table, sorted_ids, axis=0, mode="fill", fill_value=0.0
         )
+    # big tables: ONE streaming Pallas pass (the reduce's mirror image)
+    # instead of 2 unique-index scatters + a 6-7 pass masked-doubling
+    # scan — measured 30 -> 5.6 ms/step of broadcast machinery at 128^3
+    out = _binned_broadcast_or_none(table, sorted_ids)
+    if out is not None:
+        return out
     num_segments = table.shape[0]
     first, _ = _segment_marks(sorted_ids)
     # segment-first positions, per segment id.  Non-first elements park

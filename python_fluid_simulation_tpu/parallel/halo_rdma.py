@@ -50,6 +50,40 @@ def _kernel(axis_name, x_ref, out_ref, send_sem, recv_sem):
     def _():
         out_ref[pl.ds(n + 1, 1)] = jnp.zeros_like(x_ref[pl.ds(0, 1)])
 
+    # ENTRY BARRIER with both neighbours (r4 advisor medium): without
+    # it a fast device can push into a peer's out buffer before the
+    # peer has entered the kernel, racing XLA's buffer reuse on real
+    # hardware (interpret-mode parity cannot see this).  Canonical
+    # distributed-Pallas pattern: signal each live neighbour on the
+    # global barrier semaphore, then wait for as many signals.
+    barrier = pltpu.get_barrier_semaphore()
+
+    @pl.when(my > 0)
+    def _():
+        pltpu.semaphore_signal(
+            barrier,
+            inc=1,
+            device_id=my - 1,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+
+    @pl.when(my < ndev - 1)
+    def _():
+        pltpu.semaphore_signal(
+            barrier,
+            inc=1,
+            device_id=my + 1,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+
+    @pl.when(my > 0)
+    def _():
+        pltpu.semaphore_wait(barrier, 1)
+
+    @pl.when(my < ndev - 1)
+    def _():
+        pltpu.semaphore_wait(barrier, 1)
+
     # my top edge -> right neighbour's out[0:1]
     to_right = pltpu.make_async_remote_copy(
         src_ref=x_ref.at[pl.ds(n - 1, 1)],

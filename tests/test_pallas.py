@@ -816,3 +816,69 @@ def test_binned_segment_reduce_matches_numpy():
     refm = np.full((M, C), 9.5, np.float64)
     np.minimum.at(refm, ids[live], vals[live].astype(np.float64))
     np.testing.assert_allclose(np.asarray(outm), refm, atol=0)
+
+
+def test_binned_segment_broadcast_matches_numpy():
+    """ops/pallas_binned broadcast (the reduce's mirror): interpret-mode
+    parity incl. padding dump rows (-> zeros), chunk-boundary segments,
+    and empty table rows."""
+    import numpy as np
+
+    from python_fluid_simulation_tpu.ops.pallas_binned import (
+        binned_segment_broadcast,
+    )
+
+    rng = np.random.default_rng(11)
+    K, C, M = 9000, 54, 5000
+    ids = np.sort(rng.integers(0, M, K)).astype(np.int32)
+    ids[-100:] = M + 7 + np.arange(100)  # padding dump rows
+    ids[1000:1400] = ids[1000]  # a segment spanning chunk partials
+    ids = np.sort(ids)
+    table = rng.standard_normal((M, C)).astype(np.float32)
+    live = ids < M
+
+    out = np.asarray(
+        binned_segment_broadcast(
+            jnp.asarray(table), jnp.asarray(ids), interpret=True
+        )
+    )
+    ref = np.zeros((K, C), np.float32)
+    ref[live] = table[ids[live]]
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_segment_min_clamps_at_fill_on_all_routes():
+    """r4 advisor low: segment_min_sorted's contract is
+    min(fill, segment min) on EVERY route — values above fill (level-set
+    distances past the 3*gdx background) must clamp identically on the
+    XLA fallback and the binned kernel (which inits tiles at fill)."""
+    import numpy as np
+
+    from python_fluid_simulation_tpu.ops.pallas_binned import (
+        binned_segment_reduce,
+    )
+    from python_fluid_simulation_tpu.ops.scatter import (
+        segment_min_sorted,
+    )
+
+    rng = np.random.default_rng(3)
+    K, C, M = 600, 8, 40
+    fill = 0.5
+    ids = np.sort(rng.integers(0, M, K)).astype(np.int32)
+    # values straddle the fill: some segments' true min EXCEEDS fill
+    vals = rng.uniform(0.2, 1.5, (K, C)).astype(np.float32)
+    ref = np.full((M, C), fill, np.float32)
+    np.minimum.at(ref, ids, np.minimum(vals, fill))
+
+    got_xla = np.asarray(
+        segment_min_sorted(jnp.asarray(vals), jnp.asarray(ids), M, fill)
+    )
+    np.testing.assert_array_equal(got_xla, ref)
+
+    got_binned = np.asarray(
+        binned_segment_reduce(
+            jnp.asarray(vals), jnp.asarray(ids), M, op="min",
+            fill=fill, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got_binned, ref)
