@@ -105,6 +105,13 @@ def main():
     p.add_argument("--dx", type=float, default=1.0 / 32)
     p.add_argument("--mu", type=float, default=0.5)
     p.add_argument(
+        "--scene", default="dam_break",
+        choices=["dam_break", "buckling"],
+        help="buckling = the FLAGSHIP 48x80x48 funnel scene (cell-10 "
+        "parity); gives the banked buckling_full run its surface-IoU "
+        "series vs the f64 comparator (VERDICT r4 #8)",
+    )
+    p.add_argument(
         "--out",
         default=os.path.join(
             os.path.dirname(_HERE), "artifacts", "drift_32.json"
@@ -138,11 +145,19 @@ def main():
         particle_dx=args.dx / 2,
         dt_mode="cfl",
     )
-    records = drift_curve(cfg, args.steps, args.every)
+    engine_steps = None
+    if args.scene == "buckling":
+        from python_fluid_simulation_tpu.engine import scenes
+
+        cfg = scenes.buckling_config(dx=0.0125, mu=args.mu)
+        engine_steps = scenes.buckling_scene
+    records = drift_curve(
+        cfg, args.steps, args.every, engine_steps=engine_steps
+    )
     out = {
-        "scene": "dam_break",
+        "scene": args.scene,
         "grid": list(cfg.grid.res),
-        "dx": args.dx,
+        "dx": cfg.grid.dx,
         "mu": args.mu,
         "dt": 1.0 / 300.0,
         "steps": args.steps,

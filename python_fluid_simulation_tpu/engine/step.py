@@ -196,21 +196,31 @@ def step_3d(
     bucket_lost = jnp.int32(0)
     if bucketed:
         assert mesh is not None, "bucketed mode needs a mesh"
-        assert len(mesh.axis_names) == 1, (
-            "bucketed particle residency is slab-major along x — use a "
-            "1D mesh (the 2D (x,z) mesh runs the index-sharded path)"
-        )
-        from python_fluid_simulation_tpu.parallel.particles import (
-            rebucket,
-            sharded_fluid_levelset,
-            sharded_g2p_all,
-            sharded_p2g_all,
-            spec_from_state,
-        )
+        if len(mesh.axis_names) == 2:
+            # 2D (x,z) slab-x-slab residency (parallel/particles2d.py)
+            from python_fluid_simulation_tpu.parallel.particles2d import (
+                rebucket_2d as rebucket,
+                sharded_fluid_levelset_2d as sharded_fluid_levelset,
+                sharded_g2p_all_2d as sharded_g2p_all,
+                sharded_p2g_all_2d as sharded_p2g_all,
+                spec_from_state_2d,
+            )
 
-        bspec = spec_from_state(
-            p.x.shape[0], mesh.devices.size, g.res[0]
-        )
+            bspec = spec_from_state_2d(
+                p.x.shape[0], mesh, g.res[0], g.res[2]
+            )
+        else:
+            from python_fluid_simulation_tpu.parallel.particles import (
+                rebucket,
+                sharded_fluid_levelset,
+                sharded_g2p_all,
+                sharded_p2g_all,
+                spec_from_state,
+            )
+
+            bspec = spec_from_state(
+                p.x.shape[0], mesh.devices.size, g.res[0]
+            )
         p2, l1 = rebucket(
             Particles(x=px, v=p.v, c=p.c, m=p.m), mesh, bspec,
             g.bound_min, g.cell_size,

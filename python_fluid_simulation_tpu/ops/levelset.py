@@ -147,50 +147,24 @@ def compute_fluid_levelset(
     for s in res:
         size *= s
 
-    # Opt-in (recorded LOSS): binned min into a group-padded (K, 160)
-    # table + the 5^3 fold kernel (ops/pallas_fold5.py) consuming it in
-    # native layout.  Exact-parity on TPU, but the kernel's per-piece
-    # masked lane extract does 32x the vector work of a direct slice —
-    # measured 265 vs 204 ms/step at 128^3 — so the XLA
-    # transpose+separable-fold stays the default.  PFS_FOLD5=1 enables.
-    import os as _os
-
-    if (
-        _os.environ.get("PFS_FOLD5", "0") != "0"
-        and _os.environ.get("PFS_NO_BINNED", "0") == "0"
-        and d == 3
-    ):
-        from python_fluid_simulation_tpu.ops.pallas_binned import (
-            binned_reduce_available,
-            binned_segment_reduce,
-        )
-        from python_fluid_simulation_tpu.ops.pallas_fold5 import (
-            fold5_available,
-            fold5_min,
-        )
-
-        probe = jax.ShapeDtypeStruct((n, 160), vals.dtype)
-        if (
-            fold5_available(res)
-            and binned_reduce_available(probe, size)
-        ):
-            vals160 = jnp.pad(
-                vals.reshape(n, 5, 25),
-                ((0, 0), (0, 0), (0, 7)),
-                constant_values=background_f,
-            ).reshape(n, 160)
-            seg160 = binned_segment_reduce(
-                vals160, sorted_ids, size, op="min", fill=background_f
-            )
-            return fold5_min(seg160, tuple(res), background_f)
-
+    # [The round-4 5^3 fold kernel experiment (pallas_fold5: binned min
+    # into a group-padded (K, 160) table consumed in native layout) was
+    # DELETED in round 5: it lost 265 vs 204 ms/step at 128^3 (per-piece
+    # masked lane extract = 32x the vector work of a slice), and the
+    # channels-first binned reduce (pallas_binned cf mode) now removes
+    # the transpose it was built to avoid.]
     from python_fluid_simulation_tpu.ops.transfers import (
         _group_threshold,
     )
 
+    from python_fluid_simulation_tpu.ops.scatter import (
+        segment_reduce_cf,
+    )
+
     if size < _group_threshold():
-        seg = segment_min_sorted(vals, sorted_ids, size, background_f)
-        seg_cf = channels_first(seg, tuple(res))
+        seg_cf = segment_reduce_cf(
+            vals, sorted_ids, size, tuple(res), "min", background_f
+        )
         return fold_scattered_sep(
             seg_cf, [tuple(range(-2, 3))] * d, tuple(res), "min",
             background,
@@ -203,8 +177,9 @@ def compute_fluid_levelset(
     per = 5 ** (d - 1)
     for gi_x, ox in enumerate(range(-2, 3)):
         sub = vals[:, gi_x * per : (gi_x + 1) * per]
-        seg = segment_min_sorted(sub, sorted_ids, size, background_f)
-        seg_cf = channels_first(seg, tuple(res))
+        seg_cf = segment_reduce_cf(
+            sub, sorted_ids, size, tuple(res), "min", background_f
+        )
         folded = fold_scattered_sep(
             seg_cf,
             [(ox,)] + [tuple(range(-2, 3))] * (d - 1),
@@ -259,8 +234,11 @@ def compute_fluid_volume(
     size = 1
     for s in ext:
         size *= s
-    seg = segment_sum_sorted(sorted_vals, sorted_ids, size, widen=True)
-    seg_cf = channels_first(seg, ext)
+    from python_fluid_simulation_tpu.ops.scatter import (
+        segment_reduce_cf,
+    )
+
+    seg_cf = segment_reduce_cf(sorted_vals, sorted_ids, size, ext)
 
     vol = fold_scattered_sep(
         seg_cf, [(-1, 0)] * d, tuple(dual_res), "add", 0.0
@@ -340,8 +318,13 @@ def compute_fluid_volume_classes(
     size = 1
     for e in ext:
         size *= e
-    seg = segment_sum_sorted(sorted_vals, sorted_ids, size, widen=True)
-    seg_cf = channels_first(seg, ext)  # (3^d, ext...)
+    from python_fluid_simulation_tpu.ops.scatter import (
+        segment_reduce_cf,
+    )
+
+    seg_cf = segment_reduce_cf(
+        sorted_vals, sorted_ids, size, ext
+    )  # (3^d, ext...)
 
     fine_vol = 1.0
     for c in fine_cell_size:

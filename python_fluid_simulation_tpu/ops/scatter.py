@@ -323,6 +323,53 @@ def segment_broadcast_sorted(
     return vals
 
 
+def segment_reduce_cf(
+    vals: jnp.ndarray,
+    sorted_ids: jnp.ndarray,
+    num_segments: int,
+    grid_shape: Sequence[int],
+    op: str = "add",
+    fill=0.0,
+) -> jnp.ndarray:
+    """Segmented reduce emitted CHANNELS-FIRST: (C, *grid_shape).
+
+    On the binned TPU route the kernel writes the transposed table
+    directly (per-tile VMEM transposes — ops/pallas_binned._kernel cf
+    mode), so the separate ``channels_first`` moveaxis (a full HBM
+    (M, C) -> (C, M) transpose, 20.8 ms/step at 128^3, round-4 profile)
+    never runs.  Falls back to reduce + moveaxis elsewhere.
+    """
+    if not (_NO_BINNED
+            or _os.environ.get(f"PFS_NO_BINNED_{op.upper()}", "0") != "0"
+            or _os.environ.get("PFS_NO_BINNED_CF", "0") != "0"
+            or vals.ndim != 2):
+        try:
+            fill_c = float(fill)
+        except Exception:
+            fill_c = None
+        if fill_c is not None:
+            from python_fluid_simulation_tpu.ops.pallas_binned import (
+                binned_reduce_available,
+                binned_segment_reduce,
+            )
+
+            if binned_reduce_available(vals, num_segments):
+                out = binned_segment_reduce(
+                    vals, sorted_ids, num_segments, op=op, fill=fill_c,
+                    channels_first=True,
+                )
+                return out.reshape(
+                    (vals.shape[-1],) + tuple(grid_shape)
+                )
+    if op == "add":
+        seg = segment_sum_sorted(
+            vals, sorted_ids, num_segments, widen=True
+        )
+    else:
+        seg = segment_min_sorted(vals, sorted_ids, num_segments, fill)
+    return channels_first(seg, grid_shape)
+
+
 def unsort_rows(values: jnp.ndarray, order: jnp.ndarray) -> jnp.ndarray:
     """Invert a sort permutation: out[order[i]] = values[i].
 
@@ -489,28 +536,15 @@ def fold_scattered_sep(
     )
 
 
-_PALLAS_TRANSPOSE = _os.environ.get("PFS_PALLAS_TRANSPOSE", "0") != "0"
-
-
 def channels_first(seg_mc: jnp.ndarray, grid_shape: Sequence[int]) -> jnp.ndarray:
     """(M, C) segment table -> (C, *grid_shape) channel-major grids.
 
-    PFS_PALLAS_TRANSPOSE=1 routes the C <= 128 hop through the tiled
-    Pallas transpose kernel.  Measured at the step level (buckling_128,
-    round 4): 444 ms/step vs 220 for the XLA moveaxis — the standalone
-    kernel breaks XLA's producer/consumer fusion around the hop, which
-    outweighs the relayout saving.  OFF by default; kept as the recorded
-    A/B."""
-    if _PALLAS_TRANSPOSE and seg_mc.ndim == 2:
-        from python_fluid_simulation_tpu.ops.pallas_transpose import (
-            transpose_available,
-            transpose_mc,
-        )
-
-        if transpose_available(seg_mc):
-            return transpose_mc(seg_mc).reshape(
-                (seg_mc.shape[-1],) + tuple(grid_shape)
-            )
+    Fallback hop only: the TPU path gets the channel-major table
+    straight from the binned reduce kernel (`segment_reduce_cf`), which
+    transposes tiles in VMEM.  [The round-4 standalone Pallas transpose
+    kernel was DELETED in round 5: it lost 444 vs 220 ms/step at 128^3
+    — the pallas_call boundary broke XLA's producer/consumer fusion
+    around the hop — and the cf reduce obsoletes it.]"""
     return jnp.moveaxis(seg_mc, -1, 0).reshape(
         (seg_mc.shape[-1],) + tuple(grid_shape)
     )

@@ -323,10 +323,9 @@ def p2g_all(
     p2g placement the whole thing is ~5 ms.]
     """
     from python_fluid_simulation_tpu.ops.scatter import (
-        channels_first,
         fold_scattered_sep,
         home_ids_extended,
-        segment_sum_sorted,
+        segment_reduce_cf,
         sort_by_segment,
     )
 
@@ -383,18 +382,14 @@ def p2g_all(
 
         def group_cf(cols):
             sub = sorted_vals[:, jnp.asarray(cols)]
-            return channels_first(
-                segment_sum_sorted(sub, sorted_ids, size, widen=True),
-                ext,
-            )
+            return segment_reduce_cf(sub, sorted_ids, size, ext)
 
     else:
         # one merged placement for all 135 channels.  [Splitting on the
         # 128-lane tile boundary (108 p2g + 27 volume) was tried and
         # LOST (366 vs 351 ms/step at 128^3): the scatter is row-bound,
         # so two K-row scatters cost more than one wider one.]
-        seg = segment_sum_sorted(sorted_vals, sorted_ids, size, widen=True)
-        seg_cf = channels_first(seg, ext)
+        seg_cf = segment_reduce_cf(sorted_vals, sorted_ids, size, ext)
 
         def group_cf(cols):
             return seg_cf[jnp.asarray(cols)]

@@ -36,6 +36,20 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
 
+import os as _os
+
+# PFS_RDMA_HALO=1 routes width-1 axis-0 exchanges through the Pallas
+# remote-DMA kernel (halo_rdma.py: neighbour barrier + make_async_
+# remote_copy over ICI) instead of lax.ppermute — the hand-scheduled
+# alternative that skips the collective runtime's per-call latency.
+# Other shapes (width 2, minor axes) keep the ppermute path.  Parity is
+# asserted in the driver dryrun ("rdma OK" line) and test_parallel.py.
+# Read at TRACE time (inside jit tracing) so callers can flip it
+# per-program without re-importing.
+def _rdma_halo() -> bool:
+    return _os.environ.get("PFS_RDMA_HALO", "0") != "0"
+
+
 def halo_exchange(
     x: jnp.ndarray, axis_name: str, width: int = 1, array_axis: int = 0
 ):
@@ -48,6 +62,12 @@ def halo_exchange(
     Edge devices receive zeros (domain boundary — the solvers mask
     boundary cells anyway).
     """
+    if _rdma_halo() and width == 1 and array_axis == 0 and x.ndim >= 2:
+        from python_fluid_simulation_tpu.parallel.halo_rdma import (
+            halo_exchange_rdma,
+        )
+
+        return halo_exchange_rdma(x, axis_name)
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
     size = x.shape[array_axis]

@@ -138,11 +138,19 @@ def halo_exchange_rdma(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n = x.shape[0]
+    # under shard_map's varying-axes check the out aval must carry the
+    # mesh axes it varies over — same as the input's
+    out_shape = (n + 2,) + x.shape[1:]
+    try:
+        vma = jax.typeof(x).vma
+        out_sds = jax.ShapeDtypeStruct(out_shape, x.dtype, vma=vma)
+    except (AttributeError, TypeError):  # older jax: no vma tracking
+        out_sds = jax.ShapeDtypeStruct(out_shape, x.dtype)
     kern = pl.pallas_call(
         functools.partial(_kernel, axis_name),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n + 2,) + x.shape[1:], x.dtype),
+        out_shape=out_sds,
         scratch_shapes=[
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

@@ -119,8 +119,11 @@ def scatter_mass_volume(
     size = 1
     for s in ext:
         size *= s
-    seg = segment_sum_sorted(sorted_vals, sorted_ids, size, widen=True)
-    seg_cf = channels_first(seg, ext)
+    from python_fluid_simulation_tpu.ops.scatter import (
+        segment_reduce_cf,
+    )
+
+    seg_cf = segment_reduce_cf(sorted_vals, sorted_ids, size, ext)
 
     gm = fold_scattered_sep(
         seg_cf[0::2], [(-2, -1, 0)] * d, tuple(gres), "add", 0.0
@@ -511,8 +514,17 @@ def density_solve_3d(
         from python_fluid_simulation_tpu.parallel.particles import (
             sharded_scatter_mass_volume,
         )
+        from python_fluid_simulation_tpu.parallel.particles2d import (
+            BucketSpec2D,
+            sharded_scatter_mass_volume_2d,
+        )
 
-        gm, gvol, sort_info = sharded_scatter_mass_volume(
+        _smv = (
+            sharded_scatter_mass_volume_2d
+            if isinstance(bucket[1], BucketSpec2D)
+            else sharded_scatter_mass_volume
+        )
+        gm, gvol, sort_info = _smv(
             px, pm, bucket[0], bucket[1], gres, pvol, bound_min,
             cell_size,
         )
@@ -544,8 +556,17 @@ def density_solve_3d(
         from python_fluid_simulation_tpu.parallel.particles import (
             sharded_apply_displacement,
         )
+        from python_fluid_simulation_tpu.parallel.particles2d import (
+            BucketSpec2D,
+            sharded_apply_displacement_2d,
+        )
 
-        new_px = px + sharded_apply_displacement(
+        _sad = (
+            sharded_apply_displacement_2d
+            if isinstance(bucket[1], BucketSpec2D)
+            else sharded_apply_displacement
+        )
+        new_px = px + _sad(
             disp, bucket[0], bucket[1], gres, bound_min, cell_size,
             sort_info,
         )

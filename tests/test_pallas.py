@@ -749,38 +749,6 @@ def test_permuted_geom_matvec_equivariance():
             )
 
 
-def test_fold5_min_matches_xla_fold():
-    """ops/pallas_fold5 (opt-in, recorded step-level loss — kept as the
-    documented experiment) folds the group-padded 5^3 min table exactly
-    like channels_first + fold_scattered_sep."""
-    import numpy as np
-
-    from python_fluid_simulation_tpu.ops.pallas_fold5 import fold5_min
-    from python_fluid_simulation_tpu.ops.scatter import (
-        channels_first,
-        fold_scattered_sep,
-    )
-
-    rng = np.random.default_rng(0)
-    res = (7, 10, 8)
-    M = 7 * 10 * 8
-    bg = 3.7
-    t = rng.uniform(0, 5, (M, 125)).astype(np.float32)
-    t160 = np.full((M, 160), bg, np.float32)
-    for g in range(5):
-        t160[:, 32 * g : 32 * g + 25] = t[:, 25 * g : 25 * g + 25]
-    got = np.asarray(
-        fold5_min(jnp.asarray(t160), res, bg, interpret=True)
-    )
-    seg_cf = channels_first(jnp.asarray(t), res)
-    want = np.asarray(
-        fold_scattered_sep(
-            seg_cf, [tuple(range(-2, 3))] * 3, res, "min", bg
-        )
-    )
-    np.testing.assert_array_equal(got, want)
-
-
 def test_binned_segment_reduce_matches_numpy():
     """ops/pallas_binned (the default TPU reduce+placement engine):
     interpret-mode parity for sum and min, incl. padding dump rows and
@@ -882,3 +850,33 @@ def test_segment_min_clamps_at_fill_on_all_routes():
         )
     )
     np.testing.assert_array_equal(got_binned, ref)
+
+
+def test_binned_reduce_channels_first_matches():
+    """cf mode (kernel-side per-tile transpose) == transpose of the
+    row-major result, for add and min."""
+    import numpy as np
+
+    from python_fluid_simulation_tpu.ops.pallas_binned import (
+        binned_segment_reduce,
+    )
+
+    rng = np.random.default_rng(5)
+    K, C, M = 9000, 30, 5000
+    ids = np.sort(rng.integers(0, M, K)).astype(np.int32)
+    ids[-50:] = M + np.arange(50)
+    vals = rng.standard_normal((K, C)).astype(np.float32)
+    for op, fill in (("add", 0.0), ("min", 9.5)):
+        rm = np.asarray(
+            binned_segment_reduce(
+                jnp.asarray(vals), jnp.asarray(ids), M, op=op,
+                fill=fill, interpret=True,
+            )
+        )
+        cf = np.asarray(
+            binned_segment_reduce(
+                jnp.asarray(vals), jnp.asarray(ids), M, op=op,
+                fill=fill, interpret=True, channels_first=True,
+            )
+        )
+        np.testing.assert_array_equal(cf, rm.T)
