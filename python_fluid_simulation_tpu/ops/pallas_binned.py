@@ -318,6 +318,96 @@ def _kernel(op, fill, cf, rows_ref, ids_ref, vals_hbm, out_ref, vchunk,
         out_ref[:] = jnp.swapaxes(acc_ref[:], 0, 1)
 
 
+def _scan_kernel(op, fill, cf, rows_ref, ids_ref, lasts_ref,
+                 vals_hbm, out_ref, vchunk, ichunk, lchunk, sems,
+                 acc_ref=None):
+    """Two-phase chunk processing (round-5: the serial row loop was
+    ~19 cy/row = 27.8 ms/step at 128^3 across the step's 4 reduces):
+
+      A. VECTOR phase — an 11-pass masked-doubling segmented scan over
+         the whole (CH, C) chunk in VMEM; after it, each segment's LAST
+         in-chunk row holds the op-reduce of that segment's rows so far.
+         The segment key rides the vals stream as a trailing 128-lane
+         block (the f32 segment RANK replicated across lanes — a (CH, 1)
+         ids DMA violates Mosaic's 128-lane slice alignment).
+      B. SCALAR phase — the serial loop touches only SMEM per row (a
+         precomputed last-row flag) and issues one accumulate-store per
+         SEGMENT, not per row.
+
+    Identical output contract to `_kernel` (chunk-split segments still
+    store op-accumulated partials)."""
+    t = pl.program_id(0)
+    c_lo = rows_ref[4 * t]
+    c_hi = rows_ref[4 * t + 1]
+    lo = rows_ref[4 * t + 2]
+    hi = rows_ref[4 * t + 3]
+    base = t * _TM
+    tile = acc_ref if cf else out_ref
+    tile[:] = jnp.full_like(tile, fill)
+    c = tile.shape[1]
+    ident = jnp.float32(0.0 if op == "add" else jnp.inf)
+
+    def combine(a, b):
+        return a + b if op == "add" else jnp.minimum(a, b)
+
+    def chunk_body(ci, _):
+        start = pl.multiple_of(ci * _CH, _CH)
+        vdma = pltpu.make_async_copy(
+            vals_hbm.at[pl.ds(start, _CH), :], vchunk, sems.at[0]
+        )
+        idma = pltpu.make_async_copy(
+            ids_ref.at[pl.ds(start, _CH)], ichunk, sems.at[1]
+        )
+        ldma = pltpu.make_async_copy(
+            lasts_ref.at[pl.ds(start, _CH)], lchunk, sems.at[2]
+        )
+        vdma.start()
+        idma.start()
+        ldma.start()
+        vdma.wait()
+        idma.wait()
+        ldma.wait()
+        r_lo = jnp.maximum(lo - start, 0)
+        r_hi = jnp.minimum(hi - start, _CH)
+
+        # phase A: chunk-local segmented inclusive scan (doubling).
+        # Rows of DIFFERENT segments never combine (mask on the rank
+        # block), so scanning the whole chunk — including rows of
+        # neighbouring tiles and padding rows — is harmless.
+        x = vchunk[:, :c]
+        rk = vchunk[:, c : c + 128]
+        for p in range(_CH.bit_length() - 1):
+            s = 1 << p
+            top_v = jnp.full((s, c), ident, jnp.float32)
+            shifted = jnp.concatenate([top_v, x[: _CH - s]], axis=0)
+            top_r = jnp.full((s, 128), -1.0, jnp.float32)
+            srk = jnp.concatenate([top_r, rk[: _CH - s]], axis=0)
+            m128 = srk == rk  # rank lanes identical -> uniform mask
+            same = jnp.concatenate([m128] * (c // 128), axis=1)
+            x = jnp.where(same, combine(x, shifted), x)
+        vchunk[:, :c] = x
+
+        # phase B: scalar sweep; one store per segment-last row.
+        # (full-width dynamic-row load, then a value slice — Mosaic
+        # rejects partial-lane loads at dynamic sublane indices)
+        def row_body(r, _):
+            @pl.when(lchunk[r] != 0)
+            def _():
+                rid = ichunk[r]
+                row = vchunk[pl.ds(r, 1), :][:, :c]
+                cur = tile[pl.ds(rid - base, 1), :]
+                tile[pl.ds(rid - base, 1), :] = combine(cur, row)
+
+            return 0
+
+        jax.lax.fori_loop(r_lo, r_hi, row_body, 0)
+        return 0
+
+    jax.lax.fori_loop(c_lo, c_hi, chunk_body, 0)
+    if cf:
+        out_ref[:] = jnp.swapaxes(acc_ref[:], 0, 1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -370,52 +460,96 @@ def binned_segment_reduce(
     rows = jnp.stack([c_lo, c_hi, lo, hi], axis=-1).reshape(-1)
 
     if channels_first:
-        # ragged last tile: the output is EXACTLY (c, num_segments), so
-        # the caller's reshape to (C, *grid) is free — a [:, :M] slice
-        # of the padded table forced a full-table copy (3 reshapes,
-        # ~20 ms/step at 128^3, round-5 profile)
+        # [A ragged (c, num_segments) output was tried to make the
+        # caller's reshape free: Mosaic requires the minor block dim to
+        # stay 128-aligned, and num_segments isn't — the [:, :M] slice
+        # copy stays (~3 x 6.7 ms at 128^3) until the id space itself is
+        # lane-aligned.]
         out_spec = pl.BlockSpec(
             (c, _TM), lambda t, rows_ref: (0, t),
             memory_space=pltpu.VMEM,
         )
-        out_shape = jax.ShapeDtypeStruct((c, num_segments), jnp.float32)
-        scratch = [
-            pltpu.VMEM((_CH, c), jnp.float32),
-            pltpu.SMEM((_CH,), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((_TM, c), jnp.float32),  # row-major accumulator
-        ]
+        out_shape = jax.ShapeDtypeStruct((c, m_pad), jnp.float32)
+        extra = [pltpu.VMEM((_TM, c), jnp.float32)]  # row-major acc
     else:
         out_spec = pl.BlockSpec(
             (_TM, c), lambda t, rows_ref: (t, 0),
             memory_space=pltpu.VMEM,
         )
         out_shape = jax.ShapeDtypeStruct((m_pad, c), jnp.float32)
-        scratch = [
-            pltpu.VMEM((_CH, c), jnp.float32),
-            pltpu.SMEM((_CH,), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # ids in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # vals stay in HBM
-        ],
-        out_specs=out_spec,
-        scratch_shapes=scratch,
-    )
-    out = pl.pallas_call(
-        functools.partial(_kernel, op, fill, channels_first),
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-    )(rows, ids_p, vals_p)
+        extra = []
+
+    import os as _os
+
+    # Opt-in (recorded LOSS): the two-phase scan kernel measured 181.3
+    # vs 171.9 ms/step at 128^3 — the rank block adds a 128-lane stream
+    # to every vals DMA and the doubling passes cost more than the
+    # serial row loop saves at ~4-8 rows/segment.  PFS_SCAN_REDUCE=1.
+    scan_mode = _os.environ.get("PFS_SCAN_REDUCE", "0") != "0"
+    if scan_mode:
+        # two-phase kernel inputs: per-row segment-LAST flags (with a
+        # chunk-boundary OR so chunk-split segments flush partials) and
+        # the f32 segment RANK replicated into a trailing 128-lane block
+        # of the vals stream (rank < K <= 2^24 so f32 is exact)
+        neq = ids_p[1:] != ids_p[:-1]
+        lasts = jnp.concatenate([neq, jnp.asarray([True])])
+        cb = (jnp.arange(kpad, dtype=jnp.int32) % _CH) == (_CH - 1)
+        lasts = (lasts | cb).astype(jnp.int32)
+        first = jnp.concatenate([jnp.asarray([True]), neq])
+        rank = jnp.cumsum(first.astype(jnp.float32)) - 1.0
+        vals_aug = jnp.concatenate(
+            [vals_p, jnp.broadcast_to(rank[:, None], (kpad, 128))],
+            axis=1,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # ids
+                pl.BlockSpec(memory_space=pltpu.ANY),  # lasts
+                pl.BlockSpec(memory_space=pltpu.ANY),  # vals+rank
+            ],
+            out_specs=out_spec,
+            scratch_shapes=[
+                pltpu.VMEM((_CH, c + 128), jnp.float32),
+                pltpu.SMEM((_CH,), jnp.int32),
+                pltpu.SMEM((_CH,), jnp.int32),
+                pltpu.SemaphoreType.DMA((3,)),
+            ] + extra,
+        )
+        out = pl.pallas_call(
+            functools.partial(_scan_kernel, op, fill, channels_first),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+        )(rows, ids_p, lasts, vals_aug)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # ids in HBM
+                pl.BlockSpec(memory_space=pltpu.ANY),  # vals in HBM
+            ],
+            out_specs=out_spec,
+            scratch_shapes=[
+                pltpu.VMEM((_CH, c), jnp.float32),
+                pltpu.SMEM((_CH,), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ] + extra,
+        )
+        out = pl.pallas_call(
+            functools.partial(_kernel, op, fill, channels_first),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+        )(rows, ids_p, vals_p)
     if channels_first:
-        # prefix slice on the major (row) axis only — fuses downstream
-        return out[:c_in]
+        return out[:c_in, :num_segments]
     return out[:num_segments, :c_in]

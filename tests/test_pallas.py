@@ -880,3 +880,44 @@ def test_binned_reduce_channels_first_matches():
             )
         )
         np.testing.assert_array_equal(cf, rm.T)
+
+
+def test_binned_reduce_scan_mode_matches_serial():
+    """The opt-in two-phase scan kernel (PFS_SCAN_REDUCE=1, recorded
+    in-step loss) stays bit-identical to the serial row loop."""
+    import os
+
+    import numpy as np
+
+    from python_fluid_simulation_tpu.ops.pallas_binned import (
+        binned_segment_reduce,
+    )
+
+    rng = np.random.default_rng(9)
+    K, C, M = 9000, 54, 5000
+    ids = np.sort(rng.integers(0, M, K)).astype(np.int32)
+    ids[1000:1600] = ids[1000]  # chunk-spanning segment
+    ids = np.sort(ids)
+    vals = rng.standard_normal((K, C)).astype(np.float32)
+    args = (jnp.asarray(vals), jnp.asarray(ids), M)
+    for op, fill in (("add", 0.0), ("min", 9.5)):
+        for cf in (False, True):
+            serial = np.asarray(
+                binned_segment_reduce(
+                    *args, op=op, fill=fill, interpret=True,
+                    channels_first=cf,
+                )
+            )
+            os.environ["PFS_SCAN_REDUCE"] = "1"
+            try:
+                binned_segment_reduce._clear_cache()
+                scan = np.asarray(
+                    binned_segment_reduce(
+                        *args, op=op, fill=fill, interpret=True,
+                        channels_first=cf,
+                    )
+                )
+            finally:
+                del os.environ["PFS_SCAN_REDUCE"]
+                binned_segment_reduce._clear_cache()
+            np.testing.assert_array_equal(scan, serial)
