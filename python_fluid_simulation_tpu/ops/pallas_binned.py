@@ -49,6 +49,12 @@ _TM = 2048  # output rows per tile
 _CH = 2048  # input rows per DMA chunk
 
 
+def _min_segs() -> int:
+    import os
+
+    return int(os.environ.get("PFS_BINNED_MIN_SEGS", "400000"))
+
+
 def binned_reduce_available(
     vals, num_segments: int, interpret: bool = False
 ) -> bool:
@@ -59,7 +65,7 @@ def binned_reduce_available(
         and vals.dtype == jnp.float32
         and vals.shape[-1] <= 512
         and vals.shape[0] >= 2 * _CH
-        and num_segments >= 400_000
+        and num_segments >= _min_segs()
     )
 
 
@@ -73,7 +79,7 @@ def binned_broadcast_available(
         and table.dtype == jnp.float32
         and table.shape[-1] <= 512
         and sorted_ids.shape[0] >= 2 * _CH
-        and table.shape[0] >= 400_000
+        and table.shape[0] >= _min_segs()
     )
 
 
