@@ -112,12 +112,21 @@ def main():
         "series vs the f64 comparator (VERDICT r4 #8)",
     )
     p.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend for the engine side (leaves the "
+        "real TPU free, e.g. while a training run owns it)",
+    )
+    p.add_argument(
         "--out",
         default=os.path.join(
             os.path.dirname(_HERE), "artifacts", "drift_32.json"
         ),
     )
     args = p.parse_args()
+    if args.cpu:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
 
     import jax
 

@@ -121,7 +121,30 @@ def main():
         )
         full_j = (lambda f: (lambda: f(params, gv, sphi, lvol)))(full_j)
         print(f"--- {tag} (input {x.shape}, fast_unpool={args.fast_unpool})")
-        timeit(lambda: apply_j(params, x), f"net/{tag}", args.iters)
+        # compiled FLOP count -> MXU utilisation (VERDICT r4 #4): v5e
+        # peak ~197 TFLOP/s fp32-on-MXU... use the bf16 peak 394 for
+        # bf16 and half for fp32 (XLA convs run on the MXU either way)
+        try:
+            ca = apply_j.lower(params, x).compile().cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            gflop = float(ca.get("flops", 0.0)) / 1e9
+            peak_tflops = 394.0 if tag == "bf16" else 197.0
+            print(
+                f"compiled flops: {gflop:.1f} GFLOP "
+                f"(peak {peak_tflops} TFLOP/s -> "
+                f"{gflop/peak_tflops:.2f} ms at 100% MXU)"
+            )
+        except Exception as e:  # cost analysis is best-effort
+            gflop = None
+            print("cost_analysis unavailable:", e)
+        net_ms = timeit(
+            lambda: apply_j(params, x), f"net/{tag}", args.iters
+        )
+        if gflop:
+            peak_tflops = 394.0 if tag == "bf16" else 197.0
+            mfu = gflop / (net_ms * 1e-3) / (peak_tflops * 1e3)
+            print(f"net MFU/{tag}: {100*mfu:.1f}%")
         timeit(feats_j, f"features/{tag}", args.iters)
         timeit(lambda: extract_j(), f"extract/{tag}", args.iters)
         timeit(lambda: extract_r(), f"extract_reshape/{tag}", args.iters)

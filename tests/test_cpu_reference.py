@@ -110,3 +110,29 @@ def test_cpu_reference_100_step_drift():
         # the 16^3 CI grid is coarser (bigger CFL dt, more nonlinear
         # per step) than the committed 32^3 curve's <= 0.063 dx
         assert r["particle_dev_max_over_dx"] <= 0.5, r
+
+
+def test_banked_drift_artifact_meets_bound():
+    """VERDICT r4 #8: the committed long-horizon drift artifact must
+    cover >= 300 steps (>= 1 s simulated at dt=1/300) with the fp32
+    engine's fluid surface tracking the f64 NumPy comparator at
+    IoU >= 0.99 throughout — the quantitative form of BASELINE's
+    'identical surface evolution' north star."""
+    import json
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, "artifacts", "drift_32.json")
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("drift artifact not present")
+    with open(path) as f:
+        rec = json.load(f)
+    assert rec["steps"] >= 300
+    assert rec["steps"] * rec["dt"] >= 0.999  # >= 1 s simulated
+    ious = [r["iou"] for r in rec["records"]]
+    assert min(ious) >= 0.99, min(ious)
+    # near-surface phi deviation stays sub-cell
+    devs = [r["surface_phi_dev_over_dx"] for r in rec["records"]]
+    assert max(devs) < 1.0, max(devs)

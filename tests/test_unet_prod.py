@@ -1,0 +1,65 @@
+"""Banked production-width learned-viscosity operator (VERDICT r4 #3).
+
+The artifact set under artifacts/unet_prod/ is produced by
+benchmarks/train_unet_prod.py (capture -> train -> eval) on the real
+TPU; these tests pin the BANKED artifacts: the checkpoint must
+deserialize into the full-width UNet3D parameter tree, and the recorded
+eval metrics must meet the stated surface-IoU bound for the unet mode
+vs the classical solver.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(HERE, "artifacts", "unet_prod")
+CKPT = os.path.join(OUT, "unet_width64.msgpack")
+METRICS = os.path.join(OUT, "metrics.json")
+
+
+@pytest.mark.quick
+def test_banked_ckpt_loads_into_full_width_unet():
+    if not os.path.exists(CKPT):
+        pytest.skip("banked ckpt not present (run train_unet_prod.py)")
+    import flax.serialization
+    import jax
+    import jax.numpy as jnp
+
+    from python_fluid_simulation_tpu.models.unet3d import UNet3D
+
+    model = UNet3D(width=64)
+    x0 = jnp.zeros((1, 32, 32, 32, 11), jnp.float32)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), x0)
+    )
+    template = jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype), template
+    )
+    with open(CKPT, "rb") as f:
+        params = flax.serialization.from_bytes(template, f.read())
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    # the reference full-width UNet (model_3d.py enc 64..1024) is ~69M
+    # params at in_channels=11
+    assert n > 60_000_000, f"not a full-width checkpoint: {n} params"
+    # weights are trained, not init noise: biases non-zero somewhere
+    leaves = jax.tree.leaves(params)
+    assert any(float(jnp.abs(p).max()) > 0 for p in leaves)
+    assert all(bool(jnp.all(jnp.isfinite(p))) for p in leaves)
+
+
+@pytest.mark.quick
+def test_banked_eval_metrics_meet_surface_bound():
+    if not os.path.exists(METRICS):
+        pytest.skip("eval metrics not present (run train_unet_prod.py eval)")
+    with open(METRICS) as f:
+        rec = json.load(f)
+    assert rec["steps"] >= 100
+    # unet mode (CG replaced by the net, the reference's headline mode)
+    # must track the classical surface; the banked bound
+    assert rec["iou_min"] >= 0.97, rec
+    assert rec["iou_final"] >= 0.97, rec
+    # warm-start must not INCREASE the classical iteration count
+    assert rec["warm_visc_iters_mean"] <= rec["apic_visc_iters_mean"] + 1e-6
